@@ -1,0 +1,12 @@
+from .labels import Labels, get_labels, parse_label_lines, write_labels
+from .chapath import ChaPath
+from .logging import MetricsLogger
+
+__all__ = [
+    "Labels",
+    "get_labels",
+    "parse_label_lines",
+    "write_labels",
+    "ChaPath",
+    "MetricsLogger",
+]
