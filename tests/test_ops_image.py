@@ -1,0 +1,133 @@
+"""Image-op tests, golden-checked against OpenCV where the reference used cv2."""
+
+import cv2
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from video_classification_tpu.ops import (
+    cubic_resize,
+    pad_to_square_resize,
+    pad2x,
+    normalize,
+    denormalize_to_uint8,
+    random_crop,
+    random_crop_batch,
+)
+
+
+def _ref_pad_resize(img, new_size):
+    """Reference `_pad_resize_img` (chalearn_dataset.py:60-71), verbatim in numpy."""
+    h, w, c = img.shape
+    m = max(h, w)
+    nx = (m - w) // 2
+    ny = (m - h) // 2
+    new_img = np.zeros(shape=(m, m, c), dtype=img.dtype)
+    new_img[ny : ny + h, nx : nx + w, :] = img
+    return cv2.resize(new_img, (new_size, new_size), interpolation=cv2.INTER_CUBIC)
+
+
+@pytest.mark.parametrize("in_hw,out_hw", [((48, 48), (64, 64)), ((100, 80), (64, 64)),
+                                          ((32, 32), (192, 192)), ((128, 128), (64, 64))])
+def test_cubic_resize_matches_cv2(in_hw, out_hw):
+    rng = np.random.RandomState(0)
+    img = rng.rand(*in_hw, 3).astype(np.float32)
+    got = np.asarray(cubic_resize(jnp.asarray(img), out_hw))
+    want = cv2.resize(img, (out_hw[1], out_hw[0]), interpolation=cv2.INTER_CUBIC)
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
+
+
+def test_cubic_resize_uint8_close_to_cv2():
+    rng = np.random.RandomState(1)
+    img = rng.randint(0, 256, (60, 80, 3), dtype=np.uint8)
+    got = np.asarray(cubic_resize(jnp.asarray(img), (128, 128)))
+    got = np.clip(np.round(got), 0, 255)  # cv2 saturates uint8 output
+    want = cv2.resize(img, (128, 128), interpolation=cv2.INTER_CUBIC).astype(np.float32)
+    # cv2 uses fixed-point taps for uint8; allow 1 LSB.
+    assert np.max(np.abs(got - want)) <= 1.0 + 1e-3
+
+
+def test_cubic_resize_dynamic_in_size():
+    """Traced content size on a larger canvas must equal the static crop resize."""
+    rng = np.random.RandomState(2)
+    content = rng.rand(40, 56, 3).astype(np.float32)
+    canvas = np.zeros((64, 64, 3), np.float32)
+    canvas[:40, :56] = content
+
+    @jax.jit
+    def run(c, h, w):
+        return cubic_resize(c, (32, 32), in_hw=(h, w))
+
+    got = np.asarray(run(jnp.asarray(canvas), 40, 56))
+    want = np.asarray(cubic_resize(jnp.asarray(content), (32, 32)))
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+@pytest.mark.parametrize("hw", [(30, 50), (50, 30), (64, 64)])
+def test_pad_to_square_resize_matches_reference(hw):
+    rng = np.random.RandomState(3)
+    img = rng.rand(*hw, 3).astype(np.float32)
+    want = _ref_pad_resize(img, 64)
+    got = np.asarray(pad_to_square_resize(jnp.asarray(img), 64))
+    np.testing.assert_allclose(got, want, atol=3e-5, rtol=1e-3)
+
+
+def test_pad_to_square_resize_dynamic_hw():
+    """Variable-size crop on a fixed canvas (the jit-able path)."""
+    rng = np.random.RandomState(4)
+    content = rng.rand(30, 50, 3).astype(np.float32)
+    canvas = np.zeros((128, 128, 3), np.float32)
+    canvas[:30, :50] = content
+
+    @jax.jit
+    def run(c, h, w):
+        return pad_to_square_resize(c, 64, hw=(h, w))
+
+    got = np.asarray(run(jnp.asarray(canvas), 30, 50))
+    want = _ref_pad_resize(content, 64)
+    np.testing.assert_allclose(got, want, atol=3e-5, rtol=1e-3)
+
+
+def test_pad2x_matches_reference():
+    rng = np.random.RandomState(5)
+    img = rng.randint(0, 256, (240, 320, 3), dtype=np.uint8)
+    # pad_an_img (chalearn_image_to_padded.py:16-22)
+    h, w, c = img.shape
+    want = np.zeros((h * 2, w * 2, c), img.dtype)
+    want[h // 2 : h // 2 + h, w // 2 : w // 2 + w] = img
+    got = np.asarray(pad2x(jnp.asarray(img)))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_normalize_roundtrip():
+    x = np.arange(0, 256, dtype=np.uint8).reshape(16, 16, 1)
+    y = np.asarray(normalize(jnp.asarray(x)))
+    want = (x.astype(np.float32) / 255.0 - 0.45) / 0.225
+    np.testing.assert_allclose(y, want, atol=1e-6)
+    back = np.asarray(denormalize_to_uint8(jnp.asarray(y)))
+    np.testing.assert_array_equal(back, x)
+
+
+def test_random_crop_shape_and_content():
+    key = jax.random.PRNGKey(0)
+    clip = jnp.asarray(np.random.RandomState(6).rand(4, 64, 64, 21).astype(np.float32))
+    out = random_crop(key, clip, size=64, padding=6)
+    assert out.shape == (4, 64, 64, 21)
+    # Same spatial offset must apply to every frame: check cross-frame consistency
+    # by cropping a clip whose frames are identical.
+    same = jnp.broadcast_to(clip[:1], clip.shape)
+    out2 = np.asarray(random_crop(key, same, size=64, padding=6))
+    for t in range(1, 4):
+        np.testing.assert_array_equal(out2[t], out2[0])
+
+
+def test_random_crop_batch_varies_per_sample():
+    key = jax.random.PRNGKey(1)
+    clips = jnp.asarray(np.random.RandomState(7).rand(8, 2, 32, 32, 3).astype(np.float32))
+    out = np.asarray(random_crop_batch(key, clips, size=32, padding=3))
+    assert out.shape == (8, 2, 32, 32, 3)
+    # With padding, identical inputs should usually get different offsets.
+    same = jnp.broadcast_to(clips[:1], clips.shape)
+    out2 = np.asarray(random_crop_batch(key, same, size=32, padding=3))
+    assert any(not np.array_equal(out2[i], out2[0]) for i in range(1, 8))

@@ -1,0 +1,185 @@
+"""Batched device-side image ops.
+
+The reference does all of this per-frame on host CPU with OpenCV
+(`dataset/chalearn_dataset.py:60-87`, `chalearn_image_to_padded.py:16-22`). Here each
+op is a jit-compatible XLA program over batched tensors, so the whole preprocessing
+chain runs fused on device. Layout is channels-last (NHWC / NTHWC) throughout — the
+TPU-native layout.
+
+Ops:
+  * ``cubic_resize``             — separable bicubic resize, OpenCV INTER_CUBIC kernel
+                                   (Keys, A=-0.75), replicate-clamped borders, traced
+                                   (dynamic) source sizes supported.
+  * ``pad_to_square_resize``     — reference `_pad_resize_img` semantics: center the
+                                   content in a max(h,w) square, cubic-resize to a
+                                   fixed square size (chalearn_dataset.py:60-71).
+  * ``pad2x``                    — center frame in a 2H x 2W zero canvas
+                                   (chalearn_image_to_padded.py:16-22).
+  * ``normalize``                — fused (x/255 - 0.45)/0.225 uint8->float
+                                   (chalearn_dataset.py:41-46).
+  * ``random_crop``              — torchvision RandomCrop(size, padding) equivalent
+                                   train augment (chalearn_dataset.py:73-87).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+
+# OpenCV's bicubic coefficient (interpolation.cpp `interpolateCubic`, A = -0.75).
+_CUBIC_A = -0.75
+
+
+def _cubic_kernel(x: jnp.ndarray, a: float = _CUBIC_A) -> jnp.ndarray:
+    """Keys cubic convolution kernel on |x| <= 2."""
+    ax = jnp.abs(x)
+    ax2 = ax * ax
+    ax3 = ax2 * ax
+    inner = (a + 2.0) * ax3 - (a + 3.0) * ax2 + 1.0
+    outer = a * ax3 - 5.0 * a * ax2 + 8.0 * a * ax - 4.0 * a
+    return jnp.where(ax <= 1.0, inner, jnp.where(ax < 2.0, outer, 0.0))
+
+
+def _resample_axis(img: jnp.ndarray, axis: int, out_size: int, in_size) -> jnp.ndarray:
+    """Cubic-resample one axis. ``in_size`` may be a traced scalar (dynamic crop
+
+    sizes); the array extent along ``axis`` is the static canvas size, samples past
+    ``in_size`` are never touched because coordinates clamp to [0, in_size-1].
+    """
+    canvas = img.shape[axis]
+    in_size = jnp.asarray(in_size, jnp.float32)
+    scale = in_size / out_size
+    # OpenCV coordinate mapping: src = (dst + 0.5) * scale - 0.5.
+    dst = jnp.arange(out_size, dtype=jnp.float32)
+    src = (dst + 0.5) * scale - 0.5
+    base = jnp.floor(src)
+    frac = src - base
+    # 4 taps at offsets -1..2 around floor(src); replicate-clamp into the valid range.
+    tap_offsets = jnp.arange(-1, 3, dtype=jnp.float32)
+    tap_coords = base[:, None] + tap_offsets[None, :]          # (out, 4)
+    tap_idx = jnp.clip(tap_coords, 0, in_size - 1.0).astype(jnp.int32)
+    weights = _cubic_kernel(frac[:, None] - tap_offsets[None, :])  # (out, 4)
+    tap_idx = jnp.clip(tap_idx, 0, canvas - 1)
+
+    moved = jnp.moveaxis(img, axis, 0).astype(jnp.float32)      # (in, ...)
+    taps = moved[tap_idx.reshape(-1)]                           # (out*4, ...)
+    taps = taps.reshape((out_size, 4) + moved.shape[1:])
+    w = weights.reshape((out_size, 4) + (1,) * (moved.shape.__len__() - 1))
+    out = jnp.sum(taps * w, axis=1)
+    return jnp.moveaxis(out, 0, axis)
+
+
+def cubic_resize(
+    img: jnp.ndarray,
+    out_hw: Sequence[int],
+    in_hw=None,
+) -> jnp.ndarray:
+    """Bicubic resize of (..., H, W, C) to (..., out_h, out_w, C), float32 output.
+
+    ``in_hw``: true (h, w) of the content if smaller than the array extent
+    (traced scalars allowed); defaults to the array's own H, W.
+    """
+    h_axis = img.ndim - 3
+    w_axis = img.ndim - 2
+    in_h = img.shape[h_axis] if in_hw is None else in_hw[0]
+    in_w = img.shape[w_axis] if in_hw is None else in_hw[1]
+    out = _resample_axis(img, h_axis, int(out_hw[0]), in_h)
+    out = _resample_axis(out, w_axis, int(out_hw[1]), in_w)
+    return out
+
+
+def pad_to_square_resize(img: jnp.ndarray, size: int, hw=None) -> jnp.ndarray:
+    """Center content in a max(h, w) square, bicubic-resize to (size, size).
+
+    Matches `ChalearnVideoDataset._pad_resize_img` (chalearn_dataset.py:60-71):
+    nx=(m-w)//2, ny=(m-h)//2 centering with zero fill, INTER_CUBIC resize.
+
+    ``img``: (H, W, C) canvas whose valid content is the top-left ``hw`` region
+    (hw may be traced scalars; defaults to full extent). Output float32.
+    """
+    H, W, C = img.shape
+    h = jnp.asarray(H if hw is None else hw[0], jnp.int32)
+    w = jnp.asarray(W if hw is None else hw[1], jnp.int32)
+    m = jnp.maximum(h, w)
+    canvas_m = max(H, W)
+    nx = (m - w) // 2
+    ny = (m - h) // 2
+    # Build the square canvas with content centered; static canvas extent.
+    canvas = jnp.zeros((canvas_m, canvas_m, C), img.dtype)
+    canvas = jax.lax.dynamic_update_slice(
+        canvas, img[: min(H, canvas_m), : min(W, canvas_m)], (0, 0, 0)
+    )
+    # Mask out anything beyond the true (h, w) content before shifting.
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (canvas_m, canvas_m, 1), 0)
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (canvas_m, canvas_m, 1), 1)
+    valid = (row_ids < h) & (col_ids < w)
+    canvas = jnp.where(valid, canvas, 0)
+    # Shift content to the centered position: output[y, x] = canvas[y-ny, x-nx].
+    shifted_rows = jnp.clip(row_ids[..., 0] - ny, 0, canvas_m - 1)
+    shifted_cols = jnp.clip(col_ids[..., 0] - nx, 0, canvas_m - 1)
+    in_square = (row_ids[..., 0] >= ny) & (row_ids[..., 0] < ny + h) & (
+        col_ids[..., 0] >= nx
+    ) & (col_ids[..., 0] < nx + w)
+    square = canvas[shifted_rows, shifted_cols]
+    square = jnp.where(in_square[..., None], square, 0)
+    return cubic_resize(square, (size, size), in_hw=(m, m))
+
+
+def pad2x(img: jnp.ndarray) -> jnp.ndarray:
+    """Zero-pad (..., H, W, C) to (..., 2H, 2W, C) with content centered.
+
+    Matches `pad_an_img` (chalearn_image_to_padded.py:16-22): content placed at
+    rows [h//2, h//2+h), cols [w//2, w//2+w).
+    """
+    *lead, h, w, c = img.shape
+    pads = [(0, 0)] * len(lead) + [(h // 2, h - h // 2), (w // 2, w - w // 2), (0, 0)]
+    return jnp.pad(img, pads)
+
+
+# Normalization constants (chalearn_dataset.py:41-46): mean 0.45, std 0.225 on x/255.
+NORM_MEAN = 0.45
+NORM_STD = 0.225
+
+
+def normalize(x: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
+    """Fused uint8 -> normalized float: ((x/255) - 0.45) / 0.225."""
+    x = x.astype(jnp.float32)
+    out = (x * (1.0 / 255.0) - NORM_MEAN) * (1.0 / NORM_STD)
+    return out.astype(dtype)
+
+
+def denormalize_to_uint8(x: jnp.ndarray) -> jnp.ndarray:
+    v = (x.astype(jnp.float32) * NORM_STD + NORM_MEAN) * 255.0
+    return jnp.clip(jnp.round(v), 0, 255).astype(jnp.uint8)
+
+
+def random_crop(
+    key: jax.Array, clip: jnp.ndarray, size: int, padding: int
+) -> jnp.ndarray:
+    """torchvision-style RandomCrop over a (T, H, W, C) clip.
+
+    Zero-pads ``padding`` on every spatial side, then takes one random
+    (size, size) window shared across all frames and channels — the reference
+    applies one RandomCrop to the whole TCHW stack (chalearn_dataset.py:73-87).
+    """
+    t, h, w, c = clip.shape
+    padded = jnp.pad(clip, ((0, 0), (padding, padding), (padding, padding), (0, 0)))
+    max_y = h + 2 * padding - size
+    max_x = w + 2 * padding - size
+    ky, kx = jax.random.split(key)
+    oy = jax.random.randint(ky, (), 0, max_y + 1)
+    ox = jax.random.randint(kx, (), 0, max_x + 1)
+    return jax.lax.dynamic_slice(padded, (0, oy, ox, 0), (t, size, size, c))
+
+
+def random_crop_batch(
+    key: jax.Array, clips: jnp.ndarray, size: int, padding: int
+) -> jnp.ndarray:
+    """Per-sample random crops over (N, T, H, W, C)."""
+    keys = jax.random.split(key, clips.shape[0])
+    return jax.vmap(functools.partial(random_crop, size=size, padding=padding))(
+        keys, clips
+    )
