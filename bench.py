@@ -1,0 +1,113 @@
+"""Benchmark: SlowFast train-step throughput (clips/sec/chip) on synthetic data.
+
+Flagship config: the slowfast-HTAH stream (depth-50 dual-pathway SlowFast, 192 px
+crops, CLIP_LEN=20, the reference's headline model) running the full fused train
+step — device-side normalize + RandomCrop + forward + CE + backward + Adam — on one
+chip, batch auto-scaled down on OOM.
+
+Baseline (see BASELINE.md): the reference publishes no numbers; the documented
+estimate for its single-GPU end-to-end pipeline (24 GB-class GPU, batch 55, 10
+DataLoader workers doing 180 cv2.imreads/clip) is ~25 clips/sec. vs_baseline is
+measured / 25.0.
+
+Prints exactly one JSON line:
+  {"metric": ..., "value": N, "unit": "clips/sec/chip", "vs_baseline": N}
+"""
+
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+REFERENCE_CLIPS_PER_SEC = 25.0  # documented estimate, BASELINE.md
+
+SMOKE = os.environ.get("BENCH_SMOKE") == "1"
+
+
+def build(batch_size: int):
+    from video_classification_tpu.config import load_model_cfg
+    from video_classification_tpu.engine import Trainer
+    from video_classification_tpu.parallel import make_mesh
+
+    cfg = load_model_cfg("slowfast-HTAH")
+    cfg.CHALEARN.ROOT = "/tmp/bench_root"
+    cfg.CHALEARN.BATCH_SIZE = batch_size
+    cfg.DATA.SYNTHETIC_NUM_VIDEOS = max(batch_size * 2, 8)
+    cfg.DATA.SYNTHETIC_SEQ_LEN = cfg.CHALEARN.CLIP_LEN + 4
+    cfg.DEBUG = True  # no checkpoint writes
+    if SMOKE:
+        cfg.CHALEARN.CLIP_LEN = 4
+        cfg.MODEL.DEPTH = 18
+        cfg.MODEL.R3D_INPUT = "CropLHand"
+        cfg.TPU.COMPUTE_DTYPE = "float32"
+    mesh = make_mesh(cfg)
+    trainer = Trainer(cfg, mesh=mesh)
+    return cfg, trainer
+
+
+def one_batch(cfg, trainer):
+    from video_classification_tpu.data import ChalearnVideoDataset, train_batches
+
+    ds = ChalearnVideoDataset(cfg, "train")
+    return next(train_batches(ds, cfg.CHALEARN.BATCH_SIZE, seed=0))
+
+
+def run(batch_size: int):
+    from video_classification_tpu.parallel import shard_batch
+
+    cfg, trainer = build(batch_size)
+    batch = one_batch(cfg, trainer)
+    sharded = shard_batch(trainer.mesh, batch)
+
+    def step(rng):
+        nonlocal sharded
+        trainer.state, metrics = trainer._train_step(
+            trainer.state, sharded["x"], sharded["label"], rng
+        )
+        return metrics
+
+    rng = jax.random.PRNGKey(0)
+    # Warmup / compile.
+    rng, r = jax.random.split(rng)
+    m = step(r)
+    jax.block_until_ready(m["loss"])
+
+    n_steps = 3 if SMOKE else 20
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        rng, r = jax.random.split(rng)
+        m = step(r)
+    jax.block_until_ready(m["loss"])
+    dt = time.perf_counter() - t0
+    clips_per_sec = batch_size * n_steps / dt
+    return clips_per_sec / jax.device_count()
+
+
+def main():
+    for batch in ([8] if SMOKE else [32, 16, 8]):
+        try:
+            value = run(batch)
+            break
+        except Exception as e:  # OOM or compile failure: try smaller batch
+            print(f"batch {batch} failed: {type(e).__name__}: {e}", file=sys.stderr)
+            value = None
+    if value is None:
+        raise SystemExit("benchmark failed at all batch sizes")
+    print(
+        json.dumps(
+            {
+                "metric": "slowfast_train_clips_per_sec_per_chip",
+                "value": round(float(value), 3),
+                "unit": "clips/sec/chip",
+                "vs_baseline": round(float(value) / REFERENCE_CLIPS_PER_SEC, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

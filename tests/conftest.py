@@ -7,7 +7,11 @@ JAX initializes its backends, hence the env mutation at import time.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force-override: the image pins JAX_PLATFORMS=axon (the real TPU tunnel) and a
+# sitecustomize registers that backend at interpreter start; tests must run on the
+# local CPU backend with 8 virtual devices. XLA_FLAGS must be set before the first
+# backend initialization; jax_platforms can be overridden post-import.
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
@@ -15,6 +19,9 @@ if "xla_force_host_platform_device_count" not in _flags:
     ).strip()
 
 import jax  # noqa: E402  (import after env setup)
+
+jax.config.update("jax_platforms", "cpu")
+
 import pytest  # noqa: E402
 
 

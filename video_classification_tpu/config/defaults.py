@@ -51,6 +51,9 @@ _C.MODEL.LR = 5e-4
 _C.MODEL.FUSE = True  # Lateral fast->slow fusion on/off (my_slowfast.py:86-92).
 _C.MODEL.MAX_EPOCH = 100
 _C.MODEL.INPUT_SIZE = 192
+# ResNet depth of every stream (reference hard-codes 50, my_slowfast.py:98);
+# 18 => (1,1,1,1) stages, used by tests/debug for fast compiles.
+_C.MODEL.DEPTH = 50
 # Lateral-fusion forward variant: 'default' (conv+BN+ReLU+concat,
 # my_slowfast.py:334-344), 'C123' (concat->res_unit->+residual, :285-308) or
 # 'R' (concat->+residual, :310-332).

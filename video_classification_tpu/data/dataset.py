@@ -1,0 +1,222 @@
+"""ChaLearn crop-stream dataset.
+
+Replaces ``ChalearnVideoDataset`` (`/root/reference/dataset/chalearn_dataset.py:26-185`)
+with a TPU-first split of responsibilities:
+
+  * host side (this module): file reads, the 21-channel modality stack
+    (BGR 3 + U 1 + V 1 + F0..F4 5x3 + D 1 = 21, chalearn_dataset.py:103-113),
+    pad-to-square + INTER_CUBIC resize of the variable-size crops, clip sampling —
+    emitted as **uint8** arrays;
+  * device side (the jitted train/eval step): normalization
+    ((x/255 - 0.45)/0.225) and RandomCrop augmentation, fused into the model's
+    compute graph instead of burning DataLoader-worker CPU.
+
+Missing frames degrade to constant-127 images exactly like the reference
+(chalearn_dataset.py:115-116). A fully in-memory synthetic mode
+(``DATA.SYNTHETIC_NUM_VIDEOS > 0``) serves benchmarks and sharding dry-runs with no
+disk at all.
+"""
+
+from __future__ import annotations
+
+import random as pyrandom
+from glob import glob
+from pathlib import Path
+from typing import Dict, Iterator, List, Optional, Tuple
+
+import numpy as np
+
+from ..config.crop_cfg import crop_resize_dict
+from ..ops.sampling import random_clip_indices, uniform_clip_indices
+from ..utils.labels import get_labels
+
+NUM_MODALITY_CHANNELS = 21
+MISSING_FILL = 127
+
+
+def _pad_resize_uint8(img: np.ndarray, new_size: int) -> np.ndarray:
+    """Reference `_pad_resize_img` (chalearn_dataset.py:60-71) on uint8 HWC."""
+    h, w, c = img.shape
+    m = max(h, w)
+    nx = (m - w) // 2
+    ny = (m - h) // 2
+    canvas = np.zeros((m, m, c), img.dtype)
+    canvas[ny : ny + h, nx : nx + w] = img
+    import cv2
+
+    return cv2.resize(canvas, (new_size, new_size), interpolation=cv2.INTER_CUBIC)
+
+
+class ChalearnVideoDataset:
+    """Reads one crop stream (cfg.MODEL.R3D_INPUT) as uint8 clips."""
+
+    def __init__(self, cfg, name_of_set: str, sampling: Optional[str] = None) -> None:
+        assert name_of_set in ("train", "test", "valid")
+        self.cfg = cfg
+        self.name_of_set = name_of_set
+        self.clip_len = cfg.CHALEARN.CLIP_LEN
+        self.crop_folder = cfg.MODEL.R3D_INPUT
+        self.crop_size = crop_resize_dict[self.crop_folder]
+        self.synthetic = int(cfg.DATA.SYNTHETIC_NUM_VIDEOS) > 0
+        if self.synthetic:
+            n = int(cfg.DATA.SYNTHETIC_NUM_VIDEOS)
+            self.labels = [
+                (f"{name_of_set}/m{i}.avi", f"{name_of_set}/k{i}.avi",
+                 (i % cfg.CHALEARN.NUM_CLASS) + 1)
+                for i in range(n)
+            ]
+        else:
+            self.labels = get_labels(cfg, name_of_set)
+        # Sampling policy (chalearn_dataset.py:52-58).
+        if sampling is None:
+            self.sampling = "random" if name_of_set == "train" else "uniform"
+        else:
+            self.sampling = sampling
+
+    def __len__(self) -> int:
+        return len(self.labels)
+
+    # -- frame loading -----------------------------------------------------------
+
+    def _frame_names(self, nsetx3x5: Path) -> List[str]:
+        # Frame list comes from the 2_Images stage (chalearn_dataset.py:166-169);
+        # individual crops may then be missing (-> 127 fill).
+        folder = Path(self.cfg.CHALEARN.ROOT, self.cfg.CHALEARN.IMG, nsetx3x5)
+        files = sorted(glob(str(folder / "*")))
+        names = [Path(p).name for p in files]
+        if not names:
+            # No extracted frames at all: behave like an all-missing video.
+            names = ["00000.jpg"]
+        return names
+
+    def _load_frame(self, nsetx3x5img: Path) -> np.ndarray:
+        """One frame's 21-channel uint8 stack at the crop's square size."""
+        import cv2
+
+        size = self.crop_size
+        frame_path = Path(self.cfg.CHALEARN.ROOT, self.crop_folder, nsetx3x5img)
+        if not frame_path.exists():
+            return np.full((size, size, NUM_MODALITY_CHANNELS), MISSING_FILL, np.uint8)
+        name = frame_path.name
+        parent = frame_path.parent
+
+        def rd(p):  # BGR
+            return cv2.imread(str(p))
+
+        def rd_gray(p):
+            return cv2.imread(str(p), cv2.IMREAD_GRAYSCALE)[..., None]
+
+        parts = [rd(frame_path), rd_gray(parent / ("U_" + name)), rd_gray(parent / ("V_" + name))]
+        parts += [rd(parent / (f"F{i}_" + name)) for i in range(5)]
+        parts.append(rd_gray(parent / ("D_" + name)))
+        stack = np.concatenate(parts, axis=-1)  # (h, w, 21)
+        assert stack.shape[-1] == NUM_MODALITY_CHANNELS
+        return _pad_resize_uint8(stack, size)
+
+    def _synthetic_clip(self, index: int, clip_indices: List[int]) -> np.ndarray:
+        size = self.crop_size
+        label = self.labels[index][2]
+        rng = np.random.RandomState((index * 131 + 7) % (2**31))
+        base = rng.randint(0, 40, (len(clip_indices), size, size, NUM_MODALITY_CHANNELS))
+        return (base + 40 + (label - 1) * 3).astype(np.uint8)
+
+    def _seq_len(self, index: int) -> Tuple[int, List[str], Path]:
+        m, _, _ = self.labels[index]
+        nsetx3x5 = Path(m).parent / Path(m).stem  # train/001/M_00068
+        if self.synthetic:
+            return int(self.cfg.DATA.SYNTHETIC_SEQ_LEN), [], nsetx3x5
+        names = self._frame_names(nsetx3x5)
+        return len(names), names, nsetx3x5
+
+    def _collect(self, index: int, clip_indices: List[int], names: List[str],
+                 nsetx3x5: Path) -> np.ndarray:
+        if self.synthetic:
+            return self._synthetic_clip(index, clip_indices)
+        frames = [self._load_frame(nsetx3x5 / names[i]) for i in clip_indices]
+        return np.stack(frames)  # (T, size, size, 21) uint8
+
+    # -- public API -------------------------------------------------------------
+
+    def get_train_clip(self, index: int, rng: pyrandom.Random) -> Dict:
+        seq_len, names, nsetx3x5 = self._seq_len(index)
+        clip_idx = random_clip_indices(max(seq_len, 1), self.clip_len, rng)
+        x = self._collect(index, clip_idx, names, nsetx3x5)
+        return {"x": x, "label": self.labels[index][2] - 1}  # 0-based labels
+
+    def get_eval_clips(self, index: int, rng: pyrandom.Random) -> Dict:
+        seq_len, names, nsetx3x5 = self._seq_len(index)
+        clips = uniform_clip_indices(max(seq_len, 1), self.clip_len, rng)
+        xs = [self._collect(index, ci, names, nsetx3x5) for ci in clips]
+        return {"clips": xs, "label": self.labels[index][2] - 1}
+
+
+# -- batching -------------------------------------------------------------------------
+
+
+def train_batches(
+    dataset: ChalearnVideoDataset,
+    batch_size: int,
+    seed: int = 0,
+    shuffle: bool = True,
+    drop_last: bool = True,
+) -> Iterator[Dict[str, np.ndarray]]:
+    """One epoch of uint8 train batches (shuffle + drop_last, train.py:164)."""
+    rng = pyrandom.Random(seed)
+    order = list(range(len(dataset)))
+    if shuffle:
+        rng.shuffle(order)
+    for start in range(0, len(order), batch_size):
+        chunk = order[start : start + batch_size]
+        if drop_last and len(chunk) < batch_size:
+            return
+        samples = [dataset.get_train_clip(i, rng) for i in chunk]
+        yield {
+            "x": np.stack([s["x"] for s in samples]),
+            "label": np.asarray([s["label"] for s in samples], np.int32),
+        }
+
+
+def eval_batches(
+    dataset: ChalearnVideoDataset,
+    batch_size: int,
+    seed: int = 0,
+) -> Tuple[Iterator[Dict[str, np.ndarray]], List[int]]:
+    """Pack the ragged clips-per-video stream into fixed-size batches.
+
+    Reproduces the reference's eval packing (train.py:297-335) with one TPU-friendly
+    change: the final partial batch is padded to ``batch_size`` and carries a
+    ``valid`` mask instead of being ragged (XLA static shapes).
+
+    Returns (generator, samples_per_video). samples_per_video is filled lazily while
+    iterating, in video order — identical to the reference's bookkeeping
+    (train.py:317).
+    """
+    samples_per_video: List[int] = []
+
+    def gen():
+        rng = pyrandom.Random(seed)
+        pending_x: List[np.ndarray] = []
+        pending_y: List[int] = []
+        for index in range(len(dataset)):
+            item = dataset.get_eval_clips(index, rng)
+            samples_per_video.append(len(item["clips"]))
+            pending_x.extend(item["clips"])
+            pending_y.extend([item["label"]] * len(item["clips"]))
+            while len(pending_x) >= batch_size:
+                yield {
+                    "x": np.stack(pending_x[:batch_size]),
+                    "label": np.asarray(pending_y[:batch_size], np.int32),
+                    "valid": np.ones(batch_size, bool),
+                }
+                pending_x = pending_x[batch_size:]
+                pending_y = pending_y[batch_size:]
+        if pending_x:
+            n = len(pending_x)
+            pad = batch_size - n
+            x = np.stack(pending_x + [pending_x[0]] * pad)
+            y = np.asarray(pending_y + [0] * pad, np.int32)
+            valid = np.zeros(batch_size, bool)
+            valid[:n] = True
+            yield {"x": x, "label": y, "valid": valid}
+
+    return gen(), samples_per_video

@@ -1,0 +1,18 @@
+from .model_manager import ModelManager
+from .trainer import Trainer, TrainState, train_unimportant_parts
+from .checkpoint import save_checkpoint, load_checkpoint, ckpt_dir
+from .sparse import ResultSaver, SparseFusionDataset, SparseTrainer, PART_YAMLS
+
+__all__ = [
+    "ModelManager",
+    "Trainer",
+    "TrainState",
+    "train_unimportant_parts",
+    "save_checkpoint",
+    "load_checkpoint",
+    "ckpt_dir",
+    "ResultSaver",
+    "SparseFusionDataset",
+    "SparseTrainer",
+    "PART_YAMLS",
+]

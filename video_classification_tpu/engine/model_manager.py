@@ -1,0 +1,83 @@
+"""Model dispatch + batch preparation.
+
+Mirrors the reference ``ModelManager`` (`/root/reference/train.py:39-145`): selects
+the architecture by ``MODEL.NAME`` ('res2d' | 'res3d' | 'slowfast-*') and owns the
+batch -> model-input mapping. The mapping runs *inside* the jitted step on device:
+uint8 batches are normalized ((x/255-0.45)/0.225), optionally RandomCrop-augmented,
+then split into pathway inputs.
+
+Channel layout of a batch (N, T, H, W, 21), channels-last:
+  0:3 BGR, 3:5 UV, 5:20 flow (5 frames x 3ch), 20:21 depth
+(matching `_prepare_slowfast_data`, train.py:125-145 — BGRUV to the slow pathway,
+flow stack to the fast pathway; depth unused).
+"""
+
+from __future__ import annotations
+
+from typing import Any, List, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config.crop_cfg import crop_resize_dict
+from ..models import init_my_slowfast, init_res2d, init_res3d
+from ..ops.image import normalize, random_crop_batch
+
+
+class ModelManager:
+    def __init__(self, cfg):
+        self.cfg = cfg
+        name = cfg.MODEL.NAME
+        if name == "res2d":
+            self.init_model = self._init_res2d
+            self.prepare_data = self._prepare_res2d
+        elif name == "res3d":
+            self.init_model = self._init_res3d
+            self.prepare_data = self._prepare_res3d
+        elif "slowfast" in name:
+            self.init_model = self._init_slowfast
+            self.prepare_data = self._prepare_slowfast
+        else:
+            raise NotImplementedError(name)
+        self.crop_size = crop_resize_dict[cfg.MODEL.R3D_INPUT]
+
+    # -- augmentation (train only): normalize then RandomCrop(size, size//10),
+    # zero fill in normalized space — the reference normalizes in the dataset and
+    # crops afterwards (chalearn_dataset.py:41-46, 73-87).
+    def augment(self, rng: jax.Array, x_norm: jnp.ndarray) -> jnp.ndarray:
+        size = self.crop_size
+        return random_crop_batch(rng, x_norm, size=size, padding=size // 10)
+
+    # -- model factories ---------------------------------------------------------
+    def _init_slowfast(self):
+        return init_my_slowfast(self.cfg, (5, 15), (64, 8))
+
+    def _init_res2d(self):
+        return init_res2d(self.cfg)
+
+    def _init_res3d(self):
+        return init_res3d(self.cfg)
+
+    # -- batch -> model inputs ---------------------------------------------------
+    def _prepare_slowfast(self, x_norm: jnp.ndarray) -> List[jnp.ndarray]:
+        # (N,T,H,W,21): bgr+uv 0:5 slow, flow 5:20 fast (train.py:136-145).
+        return [x_norm[..., 0:5], x_norm[..., 5:20]]
+
+    def _prepare_res3d(self, x_norm: jnp.ndarray) -> jnp.ndarray:
+        return x_norm[..., 0:5]
+
+    def _prepare_res2d(self, x_norm: jnp.ndarray) -> jnp.ndarray:
+        # NTHWC[0:5] -> NHW(T*C): T-major channel order, matching torch's
+        # reshape(N, T*C, H, W) of NTCHW (train.py:70-76).
+        x = x_norm[..., 0:5]
+        n, t, h, w, c = x.shape
+        x = jnp.transpose(x, (0, 2, 3, 1, 4))
+        return x.reshape(n, h, w, t * c)
+
+    def normalize_and_prepare(
+        self, x_uint8: jnp.ndarray, augment_rng: jax.Array | None = None
+    ) -> Any:
+        x = normalize(x_uint8, dtype=jnp.dtype(self.cfg.TPU.COMPUTE_DTYPE))
+        if augment_rng is not None:
+            x = self.augment(augment_rng, x)
+        return self.prepare_data(x)

@@ -1,0 +1,251 @@
+"""Training / evaluation engine.
+
+The reference's ``Trainer`` (`/root/reference/train.py:147-403`) re-expressed as
+jit-compiled global-view programs over a device mesh:
+
+  * one fused train step: device-side normalize + RandomCrop + forward + CE loss +
+    backward + Adam update + batch-stats update, batch sharded over the 'data' mesh
+    axis (GSPMD inserts the gradient all-reduce);
+  * one fused eval step producing softmax clip scores;
+  * eval packs the ragged clips-per-video stream into fixed batches and aggregates
+    per-video mean scores (train.py:287-370), returning the same
+    ``{'ps', 't', 'acc', 'sv'}`` dict;
+  * per-epoch eval with best-accuracy checkpointing (train.py:255-284) and the
+    3-tier warm start (engine/checkpoint.py).
+
+DEBUG mode mirrors the reference's knobs (train.py:150-158,244-245,257-260,329-330):
+1 train batch per epoch, max 3 epochs, eval capped at 6 batches, no checkpoints.
+"""
+
+from __future__ import annotations
+
+import functools
+import itertools
+from pathlib import Path
+from typing import Any, Dict, Iterator, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax.training import train_state
+
+from ..data.dataset import ChalearnVideoDataset, eval_batches, train_batches
+from ..ops.segment import per_video_accuracy, segment_ids_from_counts
+from ..parallel import make_mesh, replicated, shard_batch
+from ..utils.logging import MetricsLogger
+from .checkpoint import load_checkpoint, save_checkpoint
+from .model_manager import ModelManager
+
+DEBUG_MAX_EPOCH = 3       # train.py:257-260
+DEBUG_EVAL_BATCHES = 6    # train.py:329-330
+
+
+class TrainState(train_state.TrainState):
+    batch_stats: Any = None
+
+
+class Trainer:
+    def __init__(self, cfg, mesh=None, torch_warmstart: Optional[Path] = None):
+        self.cfg = cfg
+        self.debug = bool(cfg.DEBUG)
+        self.batch_size = int(cfg.CHALEARN.BATCH_SIZE)
+
+        self.train_dataset = ChalearnVideoDataset(cfg, "train")
+        self.test_dataset = ChalearnVideoDataset(cfg, "test")
+
+        self.mm = ModelManager(cfg)
+        self.model = self.mm.init_model()
+        self.mesh = mesh if mesh is not None else make_mesh(cfg)
+        self.logger = MetricsLogger.for_model(cfg) if not self.debug else MetricsLogger()
+
+        self.rng = jax.random.PRNGKey(int(cfg.TPU.SEED))
+        variables = self._init_variables()
+        variables = load_checkpoint(cfg, variables, torch_warmstart)
+
+        self.tx = optax.adam(float(cfg.MODEL.LR))  # train.py:182
+        state = TrainState.create(
+            apply_fn=self.model.apply,
+            params=variables["params"],
+            batch_stats=variables.get("batch_stats", {}),
+            tx=self.tx,
+        )
+        self.state = jax.device_put(state, replicated(self.mesh))
+
+        self.max_historical_acc = 0.0
+        self._train_step = self._build_train_step()
+        self._eval_step = self._build_eval_step()
+
+    # -- setup -------------------------------------------------------------------
+
+    def _dummy_batch_x(self) -> jnp.ndarray:
+        size = self.mm.crop_size
+        t = int(self.cfg.CHALEARN.CLIP_LEN)
+        return jnp.zeros((1, t, size, size, 21), jnp.uint8)
+
+    def _init_variables(self):
+        x = self._dummy_batch_x()
+        inputs = self.mm.normalize_and_prepare(x)
+        init = jax.jit(functools.partial(self.model.init, train=False))
+        return init(jax.random.PRNGKey(0), inputs)
+
+    def _build_train_step(self):
+        mm, model = self.mm, self.model
+
+        def step(state: TrainState, x, labels, rng):
+            aug_rng, drop_rng = jax.random.split(rng)
+            inputs = mm.normalize_and_prepare(x, augment_rng=aug_rng)
+
+            def loss_fn(params):
+                logits, mutated = model.apply(
+                    {"params": params, "batch_stats": state.batch_stats},
+                    inputs,
+                    train=True,
+                    mutable=["batch_stats"],
+                    rngs={"dropout": drop_rng},
+                )
+                loss = optax.softmax_cross_entropy_with_integer_labels(
+                    logits, labels
+                ).mean()
+                return loss, (logits, mutated["batch_stats"])
+
+            (loss, (logits, new_stats)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(state.params)
+            state = state.apply_gradients(grads=grads)
+            state = state.replace(batch_stats=new_stats)
+            correct = jnp.sum(jnp.argmax(logits, -1) == labels)
+            return state, {"loss": loss, "correct": correct, "count": labels.shape[0]}
+
+        donate = (0,) if bool(self.cfg.TPU.DONATE_STATE) else ()
+        return jax.jit(step, donate_argnums=donate)
+
+    def _build_eval_step(self):
+        mm, model = self.mm, self.model
+
+        def step(state: TrainState, x):
+            inputs = mm.normalize_and_prepare(x)
+            logits = model.apply(
+                {"params": state.params, "batch_stats": state.batch_stats},
+                inputs,
+                train=False,
+            )
+            return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+
+        return jax.jit(step)
+
+    # -- training ----------------------------------------------------------------
+
+    def train_epoch(self, epoch: int) -> Dict[str, float]:
+        losses: List[float] = []
+        correct = 0
+        count = 0
+        batches = train_batches(
+            self.train_dataset, self.batch_size, seed=int(self.cfg.TPU.SEED) + epoch
+        )
+        for batch in batches:
+            self.rng, step_rng = jax.random.split(self.rng)
+            sharded = shard_batch(self.mesh, batch)
+            self.state, metrics = self._train_step(
+                self.state, sharded["x"], sharded["label"], step_rng
+            )
+            losses.append(float(metrics["loss"]))
+            correct += int(metrics["correct"])
+            count += int(metrics["count"])
+            if self.debug:
+                break
+        loss_avg = float(np.mean(losses)) if losses else float("nan")
+        acc = correct / max(count, 1)
+        self.logger.log("train_epoch", epoch=epoch, loss=loss_avg, acc=acc,
+                        correct=correct, count=count)
+        return {"loss": loss_avg, "acc": acc}
+
+    def train(self) -> float:
+        max_epoch = DEBUG_MAX_EPOCH if self.debug else int(self.cfg.MODEL.MAX_EPOCH)
+        acc = 0.0
+        epoch = 0
+        for epoch in range(max_epoch):
+            self.train_epoch(epoch)
+            y = self.run_eval()
+            acc = float(y["acc"])
+            if acc > self.max_historical_acc:
+                self.max_historical_acc = acc
+                self._save(epoch, acc)
+            else:
+                self.logger.log("ckpt_skipped", best=self.max_historical_acc)
+        self._save(epoch, acc)  # final save (train.py:284)
+        return self.max_historical_acc
+
+    def _save(self, epoch: int, acc: float):
+        variables = {
+            "params": jax.device_get(self.state.params),
+            "batch_stats": jax.device_get(self.state.batch_stats),
+        }
+        path = save_checkpoint(self.cfg, variables, epoch, acc)
+        if path is not None:
+            self.logger.log("ckpt_saved", path=str(path), acc=acc, epoch=epoch)
+
+    # -- evaluation --------------------------------------------------------------
+
+    def run_eval(self, dataset: Optional[ChalearnVideoDataset] = None,
+                 batches: Optional[Iterator] = None,
+                 samples_per_video: Optional[List[int]] = None) -> Dict:
+        """Uniform-sampled, per-video mean-score eval (train.py:287-370).
+
+        Returns {'ps': (N_clips, C) softmax scores, 't': (N_clips,) labels,
+        'acc': video accuracy, 'sv': clips per video} — the exact payload
+        train_sparse.py's ResultSaver pickles.
+        """
+        if batches is None:
+            ds = dataset if dataset is not None else self.test_dataset
+            batches, samples_per_video = eval_batches(ds, self.batch_size)
+
+        score_chunks: List[np.ndarray] = []
+        label_chunks: List[np.ndarray] = []
+        it = itertools.islice(batches, DEBUG_EVAL_BATCHES) if self.debug else batches
+        for batch in it:
+            sharded = shard_batch(self.mesh, batch)
+            scores = self._eval_step(self.state, sharded["x"])
+            valid = batch["valid"]
+            score_chunks.append(np.asarray(scores)[valid])
+            label_chunks.append(batch["label"][valid])
+
+        ps = np.concatenate(score_chunks, axis=0)
+        t = np.concatenate(label_chunks, axis=0)
+        sv = list(samples_per_video)
+        # Debug mode may truncate mid-video; clip sv to scored clips.
+        total = ps.shape[0]
+        clipped_sv: List[int] = []
+        acc_total = 0
+        for n in sv:
+            if acc_total + n > total:
+                break
+            clipped_sv.append(n)
+            acc_total += n
+        ps_used, t_used = ps[:acc_total], t[:acc_total]
+
+        seg = segment_ids_from_counts(clipped_sv, acc_total)
+        acc, _ = per_video_accuracy(
+            jnp.asarray(ps_used), jnp.asarray(t_used), jnp.asarray(seg), len(clipped_sv)
+        )
+        acc = float(acc)
+        self.logger.log("eval", acc=acc, videos=len(clipped_sv), clips=acc_total)
+        return {"ps": ps_used, "t": t_used, "acc": acc, "sv": clipped_sv}
+
+
+def train_unimportant_parts(cfg_base=None, mesh=None):
+    """Batch-train the 8 disabled crop streams (train.py:385-403)."""
+    from ..config import get_cfg
+    from ..config.crop_cfg import extra_crop_folder_list
+
+    results = {}
+    for crop_name in extra_crop_folder_list:
+        cfg = (cfg_base.clone() if cfg_base is not None else get_cfg())
+        cfg.CHALEARN.BATCH_SIZE = 80
+        cfg.MODEL.NAME = "slowfast-" + crop_name
+        cfg.MODEL.R3D_INPUT = crop_name
+        cfg.MODEL.LR = 2e-4
+        cfg.MODEL.MAX_EPOCH = 50
+        trainer = Trainer(cfg, mesh=mesh)
+        results[crop_name] = trainer.train()
+    return results

@@ -1,0 +1,24 @@
+from .slowfast import SlowFast, init_my_slowfast
+from .resnet2d import ResNet50_2D, init_res2d
+from .res3d import Res3D, init_res3d
+from .sparse_fusion import SparseModel
+from .torch_convert import (
+    torch_to_flax,
+    flax_to_torch,
+    delete_mismatch,
+    MISMATCH_LAYERS,
+)
+
+__all__ = [
+    "SlowFast",
+    "init_my_slowfast",
+    "ResNet50_2D",
+    "init_res2d",
+    "Res3D",
+    "init_res3d",
+    "SparseModel",
+    "torch_to_flax",
+    "flax_to_torch",
+    "delete_mismatch",
+    "MISMATCH_LAYERS",
+]

@@ -1,0 +1,127 @@
+"""Connected-components labeling and largest-component bounding box.
+
+Replaces the reference's per-frame ``cv2.findContours`` -> per-contour
+``boundingRect`` -> largest-area -> reject < 15 px chain
+(`/root/reference/chalearn_iuv_to_crop.py:114-149`) with a batched, jit-compatible
+device kernel:
+
+  1. label propagation: initialize every foreground pixel with its linear index,
+     then iteratively min-pool labels over the 4-neighborhood (masked to the
+     foreground) until fixpoint — each component converges to its minimum index;
+     iteration count is driven by ``lax.while_loop`` on a change flag, bounded by
+     H+W (the maximum geodesic diameter);
+  2. per-component *bounding-box area* via two segment reductions (min/max row/col
+     per label), matching cv2's boundingRect area (w*h of the component's bbox, the
+     quantity the reference maximizes — chalearn_iuv_to_crop.py:139-147);
+  3. argmax over components, reject if bbox w < 15 or h < 15
+     (chalearn_iuv_to_crop.py:148-149).
+
+Semantic note: cv2.findContours with RETR_TREE also emits inner contours, but outer
+contours dominate any inner one in bbox area, so "largest contour bbox" ==
+"largest connected-component bbox" (8-connectivity). cv2 contours use
+8-connectivity; we propagate over the 8-neighborhood to match.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+MIN_PART_SIZE = 15  # chalearn_iuv_to_crop.py:148
+
+
+def _min_pool_labels(labels: jnp.ndarray, fg: jnp.ndarray) -> jnp.ndarray:
+    """One 8-neighborhood min propagation step; background stays at INF."""
+    inf = jnp.iinfo(jnp.int32).max
+    p = jnp.pad(labels, ((1, 1), (1, 1)), constant_values=inf)
+    neigh = jnp.stack(
+        [
+            p[:-2, 1:-1], p[2:, 1:-1], p[1:-1, :-2], p[1:-1, 2:],
+            p[:-2, :-2], p[:-2, 2:], p[2:, :-2], p[2:, 2:],
+        ]
+    ).min(0)
+    out = jnp.minimum(labels, neigh)
+    return jnp.where(fg, out, inf)
+
+
+def label_components(mask: jnp.ndarray, max_iters: int | None = None) -> jnp.ndarray:
+    """Connected-component labels (8-connectivity) for a bool (H, W) mask.
+
+    Foreground pixels get the minimum linear index of their component; background
+    pixels get INT32_MAX.
+    """
+    h, w = mask.shape
+    inf = jnp.iinfo(jnp.int32).max
+    lin = (
+        jax.lax.broadcasted_iota(jnp.int32, (h, w), 0) * w
+        + jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    )
+    labels = jnp.where(mask, lin, inf)
+    if max_iters is None:
+        max_iters = h + w  # worst-case geodesic diameter bound
+
+    def cond(state):
+        labels, changed, it = state
+        return jnp.logical_and(changed, it < max_iters)
+
+    def body(state):
+        labels, _, it = state
+        new = _min_pool_labels(labels, mask)
+        return new, jnp.any(new != labels), it + 1
+
+    labels, _, _ = jax.lax.while_loop(cond, body, (labels, jnp.bool_(True), 0))
+    return labels
+
+
+def largest_component_bbox(mask: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(bbox xywh int32, valid bool) of the largest-bbox-area component.
+
+    Reproduces the reference selection rule exactly: per component take
+    cv2.boundingRect's (w*h), pick the max, discard if w<15 or h<15 or no
+    foreground (chalearn_iuv_to_crop.py:121-149).
+    """
+    h, w = mask.shape
+    labels = label_components(mask)
+    fg = mask
+    rows = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+
+    # Compact per-root reductions: roots are label==linear index pixels. Use
+    # segment reductions over the flat label array. num_segments must be static:
+    # use h*w buckets via scatter-min/max on one flat array (memory h*w ints).
+    flat_labels = labels.reshape(-1)
+    inf = jnp.iinfo(jnp.int32).max
+    big = h * w
+
+    def seg_reduce(vals, init, op):
+        out = jnp.full((big + 1,), init, jnp.int32)
+        idx = jnp.where(flat_labels == inf, big, flat_labels)
+        return op(out.at[idx], vals.reshape(-1))[:big]
+
+    min_r = seg_reduce(rows, inf, lambda a, v: a.min(v))
+    max_r = seg_reduce(rows, -1, lambda a, v: a.max(v))
+    min_c = seg_reduce(cols, inf, lambda a, v: a.min(v))
+    max_c = seg_reduce(cols, -1, lambda a, v: a.max(v))
+
+    widths = jnp.where(max_c >= 0, max_c - min_c + 1, 0)
+    heights = jnp.where(max_r >= 0, max_r - min_r + 1, 0)
+    areas = widths * heights
+    best = jnp.argmax(areas)
+    bw, bh = widths[best], heights[best]
+    bbox = jnp.stack([min_c[best], min_r[best], bw, bh]).astype(jnp.int32)
+    valid = (areas[best] > 0) & (bw >= MIN_PART_SIZE) & (bh >= MIN_PART_SIZE)
+    bbox = jnp.where(valid, bbox, jnp.zeros(4, jnp.int32))
+    return bbox, valid
+
+
+def part_mask(I: jnp.ndarray, part_indices) -> jnp.ndarray:
+    """OR of (I == pid) over a part-index group (chalearn_iuv_to_crop.py:114-119)."""
+    m = jnp.zeros(I.shape, bool)
+    for pid in part_indices:
+        m = m | (I == pid)
+    return m
+
+
+largest_component_bbox_batch = jax.vmap(largest_component_bbox)

@@ -1,0 +1,304 @@
+"""Coarse-to-fine variational optical flow, batched on device.
+
+Replaces pyflow (Ce Liu's C++ Coarse2Fine solver driven from
+`/root/reference/chalearn_video_to_flow.py:21-40`) with a TPU-native formulation of
+the same algorithm family:
+
+  * Gaussian pyramid with downsample ``ratio`` (0.75) down to ``min_width`` (20);
+  * per level, ``n_outer`` (7) fixed-point relinearizations: bilinear-warp im2 by the
+    current flow, robust (Charbonnier) data + smoothness weights (IRLS), then
+    ``n_inner`` (1) x ``n_sor`` (30) **red-black SOR** sweeps for the (du, dv)
+    increments. Lexicographic SOR is inherently sequential per pixel — the classic
+    GPU/TPU reformulation is checkerboard (red-black) ordering, which updates half
+    the pixels in parallel per half-sweep and converges equivalently;
+  * data term summed over channels, alpha (0.012) weighting the smoothness term.
+
+The parameter surface matches the reference call exactly
+(alpha/ratio/min_width/n_outer/n_inner/n_sor, chalearn_video_to_flow.py:27-37). The
+solver is fully batched over frame pairs: one jit call computes flow for an entire
+clip/video, which is how the pipeline replaces the reference's
+multiprocessing.Pool-over-videos CPU fan-out (chalearn_video_to_flow.py:127-128).
+
+``encode_flow_uint8`` reproduces the on-disk encoding bit-for-bit
+(chalearn_video_to_flow.py:79-101): U,V clipped to ±5 -> [0,1], magnitude
+sqrt((U/5)^2+(V/5)^2)/sqrt(2), all x255 as uint8 (BGR channel order: U, V, mag).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .image import cubic_resize
+
+
+class FlowParams(NamedTuple):
+    alpha: float = 0.012
+    ratio: float = 0.75
+    min_width: int = 20
+    n_outer: int = 7
+    n_inner: int = 1
+    n_sor: int = 30
+    omega: float = 1.8        # SOR over-relaxation (Liu's solver uses 1.8)
+    eps: float = 1e-6         # Charbonnier epsilon^2
+
+
+DEFAULT_PARAMS = FlowParams()
+
+
+def _gaussian_blur(x: jnp.ndarray, sigma: float) -> jnp.ndarray:
+    """Separable Gaussian blur over (B, H, W, C)."""
+    radius = max(1, int(math.ceil(2.0 * sigma)))
+    offsets = jnp.arange(-radius, radius + 1, dtype=jnp.float32)
+    k = jnp.exp(-0.5 * (offsets / sigma) ** 2)
+    k = k / jnp.sum(k)
+
+    def blur_axis(v, axis):
+        pad = [(0, 0)] * v.ndim
+        pad[axis] = (radius, radius)
+        vp = jnp.pad(v, pad, mode="edge")
+        out = jnp.zeros_like(v)
+        for i in range(2 * radius + 1):
+            sl = [slice(None)] * v.ndim
+            sl[axis] = slice(i, i + v.shape[axis])
+            out = out + k[i] * vp[tuple(sl)]
+        return out
+
+    return blur_axis(blur_axis(x, 1), 2)
+
+
+def _resize_bilinear(x: jnp.ndarray, hw: Tuple[int, int]) -> jnp.ndarray:
+    return jax.image.resize(x, (x.shape[0], hw[0], hw[1]) + x.shape[3:], "linear")
+
+
+def _pyramid_shapes(h: int, w: int, ratio: float, min_width: int):
+    """Level shapes, finest first (level 0 = original)."""
+    shapes = [(h, w)]
+    while True:
+        nh, nw = int(round(shapes[-1][0] * ratio)), int(round(shapes[-1][1] * ratio))
+        if min(nh, nw) < min_width:
+            break
+        shapes.append((nh, nw))
+    return shapes
+
+
+def _warp_bilinear(im: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """Sample im (B,H,W,C) at (x+u, y+v), clamped to the border."""
+    b, h, w, c = im.shape
+    ys = jnp.arange(h, dtype=jnp.float32)[None, :, None] + v
+    xs = jnp.arange(w, dtype=jnp.float32)[None, None, :] + u
+    ys = jnp.clip(ys, 0.0, h - 1.0)
+    xs = jnp.clip(xs, 0.0, w - 1.0)
+    y0 = jnp.floor(ys).astype(jnp.int32)
+    x0 = jnp.floor(xs).astype(jnp.int32)
+    y1 = jnp.minimum(y0 + 1, h - 1)
+    x1 = jnp.minimum(x0 + 1, w - 1)
+    wy = (ys - y0)[..., None]
+    wx = (xs - x0)[..., None]
+
+    bidx = jnp.arange(b)[:, None, None]
+    g = lambda yy, xx: im[bidx, yy, xx]
+    top = g(y0, x0) * (1 - wx) + g(y0, x1) * wx
+    bot = g(y1, x0) * (1 - wx) + g(y1, x1) * wx
+    return top * (1 - wy) + bot * wy
+
+
+def _grad_xy(im: jnp.ndarray):
+    """Central differences with replicated borders over (B,H,W,C)."""
+    px = jnp.pad(im, ((0, 0), (0, 0), (1, 1), (0, 0)), mode="edge")
+    py = jnp.pad(im, ((0, 0), (1, 1), (0, 0), (0, 0)), mode="edge")
+    ix = 0.5 * (px[:, :, 2:] - px[:, :, :-2])
+    iy = 0.5 * (py[:, 2:] - py[:, :-2])
+    return ix, iy
+
+
+def _neighbor_sum(x: jnp.ndarray) -> jnp.ndarray:
+    """Sum of 4-neighbors with zero (Neumann-style) borders, (B,H,W)."""
+    p = jnp.pad(x, ((0, 0), (1, 1), (1, 1)))
+    return p[:, :-2, 1:-1] + p[:, 2:, 1:-1] + p[:, 1:-1, :-2] + p[:, 1:-1, 2:]
+
+
+def _edge_weights(x: jnp.ndarray):
+    """(w_up, w_down, w_left, w_right) half-point smoothness weights from phi'."""
+    pad = jnp.pad(x, ((0, 0), (1, 1), (1, 1)), mode="edge")
+    up = 0.5 * (x + pad[:, :-2, 1:-1])
+    down = 0.5 * (x + pad[:, 2:, 1:-1])
+    left = 0.5 * (x + pad[:, 1:-1, :-2])
+    right = 0.5 * (x + pad[:, 1:-1, 2:])
+    # Zero-out weights across the image border (no neighbor there).
+    b, h, w = x.shape
+    row = jnp.arange(h)[None, :, None]
+    col = jnp.arange(w)[None, None, :]
+    up = jnp.where(row == 0, 0.0, up)
+    down = jnp.where(row == h - 1, 0.0, down)
+    left = jnp.where(col == 0, 0.0, left)
+    right = jnp.where(col == w - 1, 0.0, right)
+    return up, down, left, right
+
+
+def _weighted_neighbor_apply(f, wu, wd, wl, wr):
+    """sum_q w_pq * f_q over the 4-neighborhood (weights live at p)."""
+    p = jnp.pad(f, ((0, 0), (1, 1), (1, 1)))
+    return (
+        wu * p[:, :-2, 1:-1]
+        + wd * p[:, 2:, 1:-1]
+        + wl * p[:, 1:-1, :-2]
+        + wr * p[:, 1:-1, 2:]
+    )
+
+
+def _checkerboard(h: int, w: int) -> jnp.ndarray:
+    r = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    return ((r + c) % 2 == 0)[None]  # (1, H, W) bool, True = red
+
+
+def _flow_level(im1, im2, u, v, p: FlowParams):
+    """Refine flow at one pyramid level. im*: (B,H,W,C) float32; u,v: (B,H,W)."""
+    b, h, w, _ = im1.shape
+    red = _checkerboard(h, w)
+
+    for _outer in range(p.n_outer):
+        warped = _warp_bilinear(im2, u, v)
+        ix2, iy2 = _grad_xy(warped)
+        ix1, iy1 = _grad_xy(im1)
+        ix = 0.5 * (ix1 + ix2)
+        iy = 0.5 * (iy1 + iy2)
+        it = warped - im1
+
+        du = jnp.zeros_like(u)
+        dv = jnp.zeros_like(v)
+        for _inner in range(p.n_inner):
+            # Robust data weight (IRLS / Charbonnier).
+            rho = it + ix * du[..., None] + iy * dv[..., None]
+            psi = 1.0 / jnp.sqrt(rho * rho + p.eps)
+            a11 = jnp.sum(psi * ix * ix, -1)
+            a12 = jnp.sum(psi * ix * iy, -1)
+            a22 = jnp.sum(psi * iy * iy, -1)
+            b1 = -jnp.sum(psi * ix * it, -1)
+            b2 = -jnp.sum(psi * iy * it, -1)
+
+            # Robust smoothness weight on the current total flow.
+            ux, uy = _grad_xy((u + du)[..., None])
+            vx, vy = _grad_xy((v + dv)[..., None])
+            mag = ux[..., 0] ** 2 + uy[..., 0] ** 2 + vx[..., 0] ** 2 + vy[..., 0] ** 2
+            phi = 1.0 / jnp.sqrt(mag + p.eps)
+            wu_, wd_, wl_, wr_ = _edge_weights(phi)
+            wsum = wu_ + wd_ + wl_ + wr_
+
+            diag_u = a11 + p.alpha * wsum
+            diag_v = a22 + p.alpha * wsum
+
+            def half_sweep(du, dv, mask):
+                # total-flow smoothness term: sum w_pq ((u_q+du_q) - u_p)
+                su = _weighted_neighbor_apply(u + du, wu_, wd_, wl_, wr_) - wsum * u
+                new_du = (b1 - a12 * dv + p.alpha * su) / diag_u
+                du = jnp.where(mask, (1 - p.omega) * du + p.omega * new_du, du)
+                sv = _weighted_neighbor_apply(v + dv, wu_, wd_, wl_, wr_) - wsum * v
+                new_dv = (b2 - a12 * du + p.alpha * sv) / diag_v
+                dv = jnp.where(mask, (1 - p.omega) * dv + p.omega * new_dv, dv)
+                return du, dv
+
+            def sor_body(_, carry):
+                du, dv = carry
+                du, dv = half_sweep(du, dv, red)
+                du, dv = half_sweep(du, dv, ~red)
+                return du, dv
+
+            du, dv = jax.lax.fori_loop(0, p.n_sor, sor_body, (du, dv))
+
+        u = u + du
+        v = v + dv
+    return u, v
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def coarse2fine_flow(
+    im1: jnp.ndarray, im2: jnp.ndarray, params: FlowParams = DEFAULT_PARAMS
+):
+    """Dense flow for a batch of frame pairs.
+
+    im1, im2: (B, H, W, C) float32 in [0, 1] (the reference divides by 255 before
+    calling pyflow, chalearn_video_to_flow.py:23-24).
+    Returns (u, v): (B, H, W) float32 each, in pixels.
+    """
+    im1 = im1.astype(jnp.float32)
+    im2 = im2.astype(jnp.float32)
+    b, h, w, c = im1.shape
+    shapes = _pyramid_shapes(h, w, params.ratio, params.min_width)
+
+    # Pyramids, coarsest last; smooth before each downsample.
+    sigma = (1.0 / params.ratio - 1.0) + 0.3
+    pyr1, pyr2 = [im1], [im2]
+    for hw in shapes[1:]:
+        pyr1.append(_resize_bilinear(_gaussian_blur(pyr1[-1], sigma), hw))
+        pyr2.append(_resize_bilinear(_gaussian_blur(pyr2[-1], sigma), hw))
+
+    ch, cw = shapes[-1]
+    u = jnp.zeros((b, ch, cw), jnp.float32)
+    v = jnp.zeros((b, ch, cw), jnp.float32)
+    for lvl in range(len(shapes) - 1, -1, -1):
+        th, tw = shapes[lvl]
+        if (u.shape[1], u.shape[2]) != (th, tw):
+            scale_x = tw / u.shape[2]
+            scale_y = th / u.shape[1]
+            u = _resize_bilinear(u[..., None], (th, tw))[..., 0] * scale_x
+            v = _resize_bilinear(v[..., None], (th, tw))[..., 0] * scale_y
+        u, v = _flow_level(pyr1[lvl], pyr2[lvl], u, v, params)
+    return u, v
+
+
+def encode_flow_uint8(u: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """uint8 (B, H, W, 3) flow image: [U, V, magnitude] channels.
+
+    Bit-compatible with chalearn_video_to_flow.py:79-93: U,V clipped to [-5, 5]
+    mapped to [0, 1]; magnitude sqrt((U/5)^2 + (V/5)^2)/sqrt(2) clipped to [0, 1];
+    all scaled x255 and truncated to uint8 (numpy astype truncates, so no rounding).
+    """
+    uc = jnp.clip(u, -5.0, 5.0)
+    vc = jnp.clip(v, -5.0, 5.0)
+    mag = jnp.sqrt(jnp.square(uc / 5.0) + jnp.square(vc / 5.0)) / jnp.sqrt(2.0)
+    mag = jnp.clip(mag, 0.0, 1.0)
+    f01 = jnp.stack([(uc + 5.0) / 10.0, (vc + 5.0) / 10.0, mag], axis=-1)
+    return (f01 * 255.0).astype(jnp.uint8)
+
+
+def video_flow_uint8(
+    frames: jnp.ndarray, params: FlowParams = DEFAULT_PARAMS
+) -> jnp.ndarray:
+    """Per-frame flow images for a video (T, H, W, C) uint8/float.
+
+    Frame t's flow is computed against frame t-1; frame 0 flows against itself
+    (zero motion) — the reference's first-frame convention
+    (chalearn_video_to_flow.py:62-66). Returns (T, H, W, 3) uint8.
+    """
+    x = frames.astype(jnp.float32) / 255.0
+    prev = jnp.concatenate([x[:1], x[:-1]], axis=0)
+    u, v = coarse2fine_flow(prev, x, params)
+    return encode_flow_uint8(u, v)
+
+
+def flow_energy_filter(
+    flow_images: jnp.ndarray, keep_fraction: float = 0.3, min_keep: int = 8
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Select the top-energy frames (chalearn_filter_img_by_flow.py:43-66).
+
+    energy = mean of the flow image's magnitude channel. (The reference's
+    ``flow[2]`` indexes *row* 2 instead of the magnitude channel — a bug noted in
+    SURVEY.md §2.1; the intent, and what this implements, is the magnitude
+    channel.) Keeps max(min_keep, floor(T*keep_fraction)) frames, capped at T.
+
+    Returns (keep_indices sorted ascending, energies). Static output shape:
+    keep count is computed from the static T.
+    """
+    t = flow_images.shape[0]
+    num_keep = int(t * keep_fraction)
+    num_keep = max(min_keep, num_keep)
+    num_keep = min(t, num_keep)
+    energy = jnp.mean(flow_images[..., 2].astype(jnp.float32), axis=(1, 2))
+    _, top_idx = jax.lax.top_k(energy, num_keep)
+    return jnp.sort(top_idx), energy
