@@ -71,17 +71,20 @@ def run(batch_size: int):
         return metrics
 
     rng = jax.random.PRNGKey(0)
-    # Warmup / compile.
-    rng, r = jax.random.split(rng)
-    m = step(r)
-    jax.block_until_ready(m["loss"])
+    # Warmup / compile. Sync via host value transfer: on the axon tunnel backend
+    # block_until_ready returns before execution finishes, so fetching the scalar
+    # is the only reliable fence.
+    for _ in range(1 if SMOKE else 5):
+        rng, r = jax.random.split(rng)
+        m = step(r)
+    float(m["loss"])
 
-    n_steps = 3 if SMOKE else 20
+    n_steps = 3 if SMOKE else 30
     t0 = time.perf_counter()
     for _ in range(n_steps):
         rng, r = jax.random.split(rng)
         m = step(r)
-    jax.block_until_ready(m["loss"])
+    float(m["loss"])  # full sync: last step depends on the whole chain
     dt = time.perf_counter() - t0
     clips_per_sec = batch_size * n_steps / dt
     return clips_per_sec / jax.device_count()
