@@ -24,6 +24,50 @@ import numpy as np
 from ..utils.labels import write_labels
 
 
+def generate_raw_fixture(
+    cfg,
+    num_videos_per_set: int = 2,
+    num_classes: int = 2,
+    num_frames: int = 10,
+    hw=(48, 64),
+    sets: Sequence[str] = ("train",),
+    seed: int = 0,
+) -> None:
+    """Raw-stage fixture: 0_Iso/IsoGD_labels/<set>.txt + M_/K_ .avi pairs, the input
+    of the full offline pipeline (chalearn_sample_data.py consumes this layout).
+    Videos contain a moving bright square on noise so optical flow is non-trivial."""
+    rng = np.random.RandomState(seed)
+    root = Path(cfg.CHALEARN.ROOT)
+    iso = root / cfg.CHALEARN.ISO
+    h, w = hw
+    for name_of_set in sets:
+        lines = []
+        for vi in range(num_videos_per_set):
+            label = (vi % num_classes) + 1
+            xxx = f"{label:03d}"
+            vid = f"{vi + 1:05d}"
+            m_rel = f"{name_of_set}/{xxx}/M_{vid}.avi"
+            k_rel = f"{name_of_set}/{xxx}/K_{vid}.avi"
+            lines.append(f"{m_rel} {k_rel} {label}\n")
+            for rel in (m_rel, k_rel):
+                path = iso / name_of_set / rel
+                path.parent.mkdir(parents=True, exist_ok=True)
+                writer = cv2.VideoWriter(
+                    str(path), cv2.VideoWriter_fourcc(*"MJPG"), 10.0, (w, h)
+                )
+                for t in range(num_frames):
+                    frame = rng.randint(0, 60, (h, w, 3)).astype(np.uint8)
+                    # moving square (motion for the flow stage)
+                    x0 = 4 + 2 * t
+                    y0 = 4 + t
+                    frame[y0 : y0 + 12, x0 : x0 + 12] = 220
+                    writer.write(frame)
+                writer.release()
+        labels_txt = iso / "IsoGD_labels" / f"{name_of_set}.txt"
+        labels_txt.parent.mkdir(parents=True, exist_ok=True)
+        labels_txt.write_text("".join(lines))
+
+
 def generate_fixture(
     cfg,
     num_videos_per_set: int = 4,

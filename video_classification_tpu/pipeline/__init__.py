@@ -1,0 +1,27 @@
+from .iuv_contract import IUVDetection, IUVProvider, SyntheticIUVProvider
+from .stages import (
+    sample_data,
+    video_to_images,
+    video_to_flow,
+    filter_img_by_flow,
+    image_to_padded,
+    padded_to_iuv,
+    padded_to_cse,
+    iuv_to_crop,
+    run_full_pipeline,
+)
+
+__all__ = [
+    "IUVDetection",
+    "IUVProvider",
+    "SyntheticIUVProvider",
+    "sample_data",
+    "video_to_images",
+    "video_to_flow",
+    "filter_img_by_flow",
+    "image_to_padded",
+    "padded_to_iuv",
+    "padded_to_cse",
+    "iuv_to_crop",
+    "run_full_pipeline",
+]
