@@ -1,0 +1,150 @@
+"""Detection op + DensePose-equivalent network tests.
+
+ROIAlign and NMS are golden-checked against straightforward numpy references;
+the R-CNN is checked for contract conformance (shapes, jit-ability, provider
+output) — accuracy parity requires converted detectron2 weights (see
+detect/densepose.py docstring).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from video_classification_tpu.detect import (
+    DensePoseRCNN,
+    apply_deltas,
+    box_iou,
+    nms,
+    roi_align,
+)
+from video_classification_tpu.detect.densepose import generate_anchors
+
+
+def _np_iou(a, b):
+    area_a = np.maximum(a[2] - a[0], 0) * np.maximum(a[3] - a[1], 0)
+    area_b = np.maximum(b[2] - b[0], 0) * np.maximum(b[3] - b[1], 0)
+    ix = max(0, min(a[2], b[2]) - max(a[0], b[0]))
+    iy = max(0, min(a[3], b[3]) - max(a[1], b[1]))
+    inter = ix * iy
+    return inter / max(area_a + area_b - inter, 1e-9)
+
+
+def _np_nms(boxes, scores, iou_th):
+    order = np.argsort(-scores)
+    keep = []
+    suppressed = np.zeros(len(boxes), bool)
+    for i in order:
+        if suppressed[i]:
+            continue
+        keep.append(i)
+        for j in order:
+            if not suppressed[j] and _np_iou(boxes[i], boxes[j]) > iou_th:
+                suppressed[j] = True
+    return keep
+
+
+def test_box_iou_matches_numpy():
+    rng = np.random.RandomState(0)
+    pts = rng.rand(6, 4) * 50
+    boxes = np.stack(
+        [np.minimum(pts[:, 0], pts[:, 2]), np.minimum(pts[:, 1], pts[:, 3]),
+         np.maximum(pts[:, 0], pts[:, 2]) + 1, np.maximum(pts[:, 1], pts[:, 3]) + 1],
+        axis=1,
+    ).astype(np.float32)
+    got = np.asarray(box_iou(jnp.asarray(boxes), jnp.asarray(boxes)))
+    for i in range(6):
+        for j in range(6):
+            assert abs(got[i, j] - _np_iou(boxes[i], boxes[j])) < 1e-5
+
+
+def test_nms_matches_numpy():
+    rng = np.random.RandomState(1)
+    n = 20
+    centers = rng.rand(n, 2) * 40
+    sizes = 5 + rng.rand(n, 2) * 15
+    boxes = np.concatenate([centers - sizes / 2, centers + sizes / 2], 1).astype(np.float32)
+    scores = rng.rand(n).astype(np.float32)
+    keep_idx, keep_mask = nms(jnp.asarray(boxes), jnp.asarray(scores), n, 0.5)
+    got = list(np.asarray(keep_idx)[np.asarray(keep_mask)])
+    want = _np_nms(boxes, scores, 0.5)
+    assert got == want
+
+
+def test_nms_static_output():
+    boxes = jnp.asarray([[0, 0, 10, 10], [100, 100, 110, 110]], jnp.float32)
+    scores = jnp.asarray([0.9, 0.8])
+    keep_idx, keep_mask = nms(boxes, scores, 5, 0.5)
+    assert keep_idx.shape == (5,)
+    assert list(np.asarray(keep_mask)) == [True, True, False, False, False]
+
+
+def _np_roi_align(feat, box, out_size, scale, ratio=2):
+    """Direct numpy ROIAlign (aligned=True) reference."""
+    H, W, C = feat.shape
+
+    def sample(y, x):
+        y = min(max(y, 0.0), H - 1.0)
+        x = min(max(x, 0.0), W - 1.0)
+        y0, x0 = int(np.floor(y)), int(np.floor(x))
+        y1, x1 = min(y0 + 1, H - 1), min(x0 + 1, W - 1)
+        wy, wx = y - y0, x - x0
+        return (
+            feat[y0, x0] * (1 - wy) * (1 - wx)
+            + feat[y0, x1] * (1 - wy) * wx
+            + feat[y1, x0] * wy * (1 - wx)
+            + feat[y1, x1] * wy * wx
+        )
+
+    x1, y1, x2, y2 = np.asarray(box) * scale
+    bw = max(x2 - x1, 1e-6) / out_size
+    bh = max(y2 - y1, 1e-6) / out_size
+    out = np.zeros((out_size, out_size, C), np.float32)
+    for i in range(out_size):
+        for j in range(out_size):
+            acc = np.zeros(C, np.float32)
+            for ky in range(ratio):
+                for kx in range(ratio):
+                    sy = y1 + (i + (ky + 0.5) / ratio) * bh - 0.5
+                    sx = x1 + (j + (kx + 0.5) / ratio) * bw - 0.5
+                    acc += sample(sy, sx)
+            out[i, j] = acc / (ratio * ratio)
+    return out
+
+
+def test_roi_align_matches_numpy():
+    rng = np.random.RandomState(2)
+    feat = rng.rand(16, 16, 3).astype(np.float32)
+    boxes = np.asarray([[4.0, 4.0, 44.0, 36.0], [0.0, 0.0, 64.0, 64.0]], np.float32)
+    got = np.asarray(roi_align(jnp.asarray(feat), jnp.asarray(boxes), 7, 0.25))
+    for b in range(2):
+        want = _np_roi_align(feat, boxes[b], 7, 0.25)
+        np.testing.assert_allclose(got[b], want, atol=1e-5)
+
+
+def test_apply_deltas_identity():
+    anchors = jnp.asarray([[10.0, 10.0, 30.0, 50.0]])
+    out = np.asarray(apply_deltas(anchors, jnp.zeros((1, 4))))
+    np.testing.assert_allclose(out, np.asarray(anchors), atol=1e-5)
+
+
+def test_generate_anchors():
+    a = np.asarray(generate_anchors((2, 3), 8, 32.0))
+    assert a.shape == (2 * 3 * 3, 4)
+    # ratio 1 anchor at cell (0,0): centered at (4, 4), 32x32.
+    centered = a[1]  # ratios (0.5, 1, 2) -> index 1 is ratio 1.0
+    np.testing.assert_allclose(centered, [4 - 16, 4 - 16, 4 + 16, 4 + 16], atol=1e-4)
+
+
+@pytest.mark.slow
+def test_densepose_rcnn_contract():
+    model = DensePoseRCNN(depth=50, pre_nms_topk=64, post_nms_topk=8, max_detections=4)
+    img = jnp.asarray(np.random.RandomState(0).randn(64, 64, 3).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), img, train=False)
+    out = jax.jit(lambda v, x: model.apply(v, x, train=False))(variables, img)
+    assert out["boxes"].shape == (4, 4)
+    assert out["scores"].shape == (4,)
+    assert out["charts"].shape == (4, 28, 28)
+    assert out["u"].shape == (4, 28, 28)
+    assert int(out["charts"].max()) <= 24
+    assert float(out["u"].min()) >= 0.0 and float(out["u"].max()) <= 1.0

@@ -1,0 +1,279 @@
+"""DensePose-equivalent detector: ResNet-50 FPN + RPN + box head + chart head.
+
+A TPU-native (flax/XLA) counterpart of the detectron2 DensePose R-CNN the reference
+shells out to (`chalearn_padded_to_iuv.py:25-26,42-45`, config
+``densepose_rcnn_R_101_FPN_DL_s1x``). The architecture follows the Mask R-CNN
+pattern the reference model uses; depth and head widths are configurable (default
+R50 for single-chip inference economy; the reference's R101 is
+``depth=101``). Everything — anchors, proposal decode, NMS, ROIAlign, heads —
+compiles into one XLA program with static shapes (fixed proposal / detection
+counts), no host round-trips.
+
+Inference contract (what `chalearn_iuv_to_crop.py` consumes): per image, candidate
+person boxes + scores, and for the best box a 25-way body-part chart map ``I`` and
+per-pixel ``UV`` in [0, 1] at box resolution — produced here by the chart head at
+``heatmap_size`` and resized by the provider.
+
+Weights: the released detectron2 checkpoint (`model_final_844d15.pkl`) can be
+converted with models/torch_convert-style mapping once available; in this
+zero-egress environment the network runs from-scratch (the pipeline contract and
+all ops are exercised; accuracy parity requires the converted weights).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..models.layers import batch_norm
+from ..models.resnet2d import Bottleneck2d, _conv2d
+from .ops import apply_deltas, clip_boxes, nms, roi_align
+
+NUM_CHARTS = 24  # DensePose body charts 1..24; 0 = background
+RESNET_DEPTHS = {50: (3, 4, 6, 3), 101: (3, 4, 23, 3)}
+
+
+class ResNetFPN(nn.Module):
+    """ResNet bottleneck backbone with a 4-level FPN (P2..P5, strides 4..32)."""
+
+    depth: int = 50
+    fpn_channels: int = 256
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        depths = RESNET_DEPTHS[self.depth]
+        x = x.astype(self.dtype)
+        x = _conv2d(64, (7, 7), (2, 2), name="stem_conv", **kw)(x)
+        x = batch_norm(train, name="stem_norm", param_dtype=self.param_dtype)(x)
+        x = nn.relu(x).astype(self.dtype)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+
+        cs = []
+        dim_inner, dim_out = 64, 256
+        for stage, d in enumerate(depths):
+            for j in range(d):
+                stride = 2 if (stage > 0 and j == 0) else 1
+                x = Bottleneck2d(dim_inner, dim_out, stride=stride,
+                                 use_downsample=(j == 0),
+                                 name=f"res{stage + 2}_{j}", **kw)(x, train)
+            cs.append(x)
+            dim_inner *= 2
+            dim_out *= 2
+
+        # FPN top-down with lateral 1x1s and output 3x3s.
+        laterals = [
+            _conv2d(self.fpn_channels, (1, 1), name=f"fpn_lateral{i + 2}", **kw)(c)
+            for i, c in enumerate(cs)
+        ]
+        ps = [laterals[-1]]
+        for lat in laterals[-2::-1]:
+            up = jax.image.resize(ps[0], lat.shape, "nearest")
+            ps.insert(0, lat + up)
+        ps = [
+            _conv2d(self.fpn_channels, (3, 3), name=f"fpn_output{i + 2}", **kw)(p)
+            for i, p in enumerate(ps)
+        ]
+        return ps  # [P2, P3, P4, P5], strides [4, 8, 16, 32]
+
+
+class RPNHead(nn.Module):
+    """Shared 3x3 conv -> per-anchor objectness + box deltas (per FPN level)."""
+
+    num_anchors: int = 3
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats: Sequence[jnp.ndarray]):
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        conv = _conv2d(feats[0].shape[-1], (3, 3), name="conv", **kw)
+        obj_conv = _conv2d(self.num_anchors, (1, 1), name="objectness", **kw)
+        delta_conv = _conv2d(self.num_anchors * 4, (1, 1), name="deltas", **kw)
+        out = []
+        for f in feats:
+            t = nn.relu(conv(f)).astype(self.dtype)
+            out.append((obj_conv(t), delta_conv(t)))
+        return out
+
+
+class BoxHead(nn.Module):
+    """ROI features -> 2 FC -> (person score, box deltas)."""
+
+    hidden: int = 1024
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, rois):  # (N, 7, 7, C)
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        x = rois.reshape(rois.shape[0], -1)
+        x = nn.relu(nn.Dense(self.hidden, name="fc1", **kw)(x)).astype(self.dtype)
+        x = nn.relu(nn.Dense(self.hidden, name="fc2", **kw)(x)).astype(self.dtype)
+        scores = nn.Dense(2, name="cls", **kw)(x)       # (bg, person)
+        deltas = nn.Dense(4, name="box", **kw)(x)
+        return scores, deltas
+
+
+class DensePoseHead(nn.Module):
+    """ROI features -> conv tower -> chart logits (25) + per-chart U, V maps.
+
+    Follows the DensePose chart predictor: an 8-conv 512-wide fully-convolutional
+    tower on 14x14 ROI features, 2x deconv to ``heatmap_size``; outputs
+    fine-segmentation logits (background + 24 charts) and per-chart U/V fields.
+    """
+
+    conv_channels: int = 512
+    num_convs: int = 8
+    heatmap_size: int = 28
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, rois):  # (N, 14, 14, C)
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        x = rois
+        for i in range(self.num_convs):
+            x = _conv2d(self.conv_channels, (3, 3), name=f"conv{i + 1}", **kw)(x)
+            x = nn.relu(x).astype(self.dtype)
+        x = nn.ConvTranspose(self.conv_channels, (4, 4), strides=(2, 2),
+                             padding="SAME", name="deconv",
+                             dtype=self.dtype, param_dtype=self.param_dtype)(x)
+        x = nn.relu(x).astype(self.dtype)
+        x = jax.image.resize(
+            x, (x.shape[0], self.heatmap_size, self.heatmap_size, x.shape[-1]),
+            "bilinear",
+        ).astype(self.dtype)
+        seg = _conv2d(NUM_CHARTS + 1, (1, 1), name="seg", **kw)(x)
+        u = _conv2d(NUM_CHARTS + 1, (1, 1), name="u", **kw)(x)
+        v = _conv2d(NUM_CHARTS + 1, (1, 1), name="v", **kw)(x)
+        return seg, u, v
+
+
+def generate_anchors(hw: Tuple[int, int], stride: int, scale: float,
+                     ratios=(0.5, 1.0, 2.0)) -> jnp.ndarray:
+    """(H*W*A, 4) xyxy anchors for one level, centered on stride cells."""
+    h, w = hw
+    cy = (jnp.arange(h, dtype=jnp.float32) + 0.5) * stride
+    cx = (jnp.arange(w, dtype=jnp.float32) + 0.5) * stride
+    anchors = []
+    for r in ratios:
+        aw = scale * (r ** -0.5)
+        ah = scale * (r ** 0.5)
+        a = jnp.stack(
+            jnp.broadcast_arrays(
+                cx[None, :] - aw / 2, cy[:, None] - ah / 2,
+                cx[None, :] + aw / 2, cy[:, None] + ah / 2,
+            ),
+            axis=-1,
+        )  # (H, W, 4)
+        anchors.append(a)
+    return jnp.stack(anchors, axis=2).reshape(-1, 4)  # (H*W*A, 4)
+
+
+class DensePoseRCNN(nn.Module):
+    """End-to-end inference graph. Static proposal/detection counts."""
+
+    depth: int = 50
+    pre_nms_topk: int = 256
+    post_nms_topk: int = 32
+    max_detections: int = 8
+    heatmap_size: int = 28
+    score_threshold: float = 0.05
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+
+    def setup(self):
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        self.backbone = ResNetFPN(depth=self.depth, name="backbone", **kw)
+        self.rpn = RPNHead(name="rpn", **kw)
+        self.box_head = BoxHead(name="box_head", **kw)
+        self.densepose_head = DensePoseHead(
+            heatmap_size=self.heatmap_size, name="densepose_head", **kw
+        )
+
+    def __call__(self, image, train: bool = False):
+        """image: (H, W, 3) float32 (normalized). Returns dict of detections."""
+        h, w = image.shape[:2]
+        feats = self.backbone(image[None], train)
+        strides = [4, 8, 16, 32]
+        scales = [32.0, 64.0, 128.0, 256.0]
+
+        # -- RPN: score anchors, decode, top-k per level, NMS across levels.
+        rpn_out = self.rpn(feats)
+        all_boxes, all_scores = [], []
+        for (obj, deltas), f, stride, scale in zip(rpn_out, feats, strides, scales):
+            fh, fw = f.shape[1:3]
+            anchors = generate_anchors((fh, fw), stride, scale)
+            obj = obj[0].reshape(-1)
+            deltas = deltas[0].reshape(-1, 4)
+            k = min(self.pre_nms_topk, obj.shape[0])
+            top_scores, top_idx = jax.lax.top_k(obj, k)
+            boxes = apply_deltas(anchors[top_idx], deltas[top_idx])
+            all_boxes.append(clip_boxes(boxes, (h, w)))
+            all_scores.append(top_scores)
+        boxes = jnp.concatenate(all_boxes)
+        scores = jnp.concatenate(all_scores)
+        keep_idx, keep_mask = nms(boxes, scores, self.post_nms_topk, 0.7)
+        proposals = boxes[keep_idx]
+        proposal_mask = keep_mask
+
+        # -- Box head on multi-level ROIAlign (level by box size, computed as a
+        # soft selection over all levels to stay gather-only).
+        rois7 = self._multilevel_roi(feats, proposals, 7)
+        cls_scores, box_deltas = self.box_head(rois7)
+        person_prob = jax.nn.softmax(cls_scores.astype(jnp.float32), -1)[:, 1]
+        person_prob = jnp.where(proposal_mask, person_prob, 0.0)
+        det_boxes = clip_boxes(apply_deltas(proposals, box_deltas), (h, w))
+        det_idx, det_mask = nms(det_boxes, person_prob, self.max_detections, 0.5)
+        final_boxes = det_boxes[det_idx]
+        final_scores = person_prob[det_idx]
+        det_mask = det_mask & (final_scores > self.score_threshold)
+
+        # -- DensePose head on the final boxes.
+        rois14 = self._multilevel_roi(feats, final_boxes, 14)
+        seg, u, v = self.densepose_head(rois14)
+        seg = seg.astype(jnp.float32)
+        charts = jnp.argmax(seg, axis=-1).astype(jnp.int32)  # (N, hm, hm)
+        take = jax.vmap(lambda m, c: m[..., c])  # select U/V of the argmax chart
+        hm = self.heatmap_size
+        flat_c = charts.reshape(charts.shape[0], -1)
+        u_sel = jnp.take_along_axis(
+            u.astype(jnp.float32).reshape(u.shape[0], -1, NUM_CHARTS + 1),
+            flat_c[..., None], axis=-1,
+        )[..., 0].reshape(-1, hm, hm)
+        v_sel = jnp.take_along_axis(
+            v.astype(jnp.float32).reshape(v.shape[0], -1, NUM_CHARTS + 1),
+            flat_c[..., None], axis=-1,
+        )[..., 0].reshape(-1, hm, hm)
+        del take
+        return {
+            "boxes": final_boxes,                     # (D, 4) xyxy
+            "scores": jnp.where(det_mask, final_scores, 0.0),  # (D,)
+            "valid": det_mask,                        # (D,) bool
+            "charts": charts,                         # (D, hm, hm) 0..24
+            "u": jnp.clip(u_sel, 0.0, 1.0),           # (D, hm, hm)
+            "v": jnp.clip(v_sel, 0.0, 1.0),
+        }
+
+    def _multilevel_roi(self, feats, boxes, out_size: int) -> jnp.ndarray:
+        """FPN level assignment (Lin et al.: k = k0 + log2(sqrt(wh)/224)) realized
+        as a per-box select over the 4 levels' ROIAlign outputs."""
+        strides = [4, 8, 16, 32]
+        pooled = [
+            roi_align(f[0], boxes, out_size, 1.0 / s)
+            for f, s in zip(feats, strides)
+        ]
+        stacked = jnp.stack(pooled)  # (4, N, out, out, C)
+        bw = jnp.maximum(boxes[:, 2] - boxes[:, 0], 1.0)
+        bh = jnp.maximum(boxes[:, 3] - boxes[:, 1], 1.0)
+        k = jnp.floor(2 + jnp.log2(jnp.sqrt(bw * bh) / 224.0 + 1e-9)) + 2
+        level = jnp.clip(k, 0, 3).astype(jnp.int32)  # 0->P2 ... 3->P5
+        return jnp.take_along_axis(
+            stacked, level[None, :, None, None, None], axis=0
+        )[0]

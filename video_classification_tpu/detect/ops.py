@@ -1,0 +1,153 @@
+"""Detection primitives: ROIAlign and NMS as jit-compatible device ops.
+
+These are the operations detectron2 implements as custom CUDA kernels (SURVEY.md
+§2.3: ROIAlign, NMS under the DensePose dependency); here they are expressed as
+pure XLA programs — gathers + elementwise for ROIAlign, a fixed-trip greedy loop
+for NMS — so the whole detector stays inside one compiled graph.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def _bilinear_sample(feat: jnp.ndarray, ys: jnp.ndarray, xs: jnp.ndarray) -> jnp.ndarray:
+    """Sample feat (H, W, C) at float coords (ys, xs) of any shape -> (..., C).
+
+    Out-of-range coordinates clamp to the border (ROIAlign convention for
+    sampling points outside the feature map).
+    """
+    h, w, _ = feat.shape
+    ys = jnp.clip(ys, 0.0, h - 1.0)
+    xs = jnp.clip(xs, 0.0, w - 1.0)
+    y0 = jnp.floor(ys).astype(jnp.int32)
+    x0 = jnp.floor(xs).astype(jnp.int32)
+    y1 = jnp.minimum(y0 + 1, h - 1)
+    x1 = jnp.minimum(x0 + 1, w - 1)
+    wy = (ys - y0)[..., None]
+    wx = (xs - x0)[..., None]
+    v00 = feat[y0, x0]
+    v01 = feat[y0, x1]
+    v10 = feat[y1, x0]
+    v11 = feat[y1, x1]
+    return (
+        v00 * (1 - wy) * (1 - wx)
+        + v01 * (1 - wy) * wx
+        + v10 * wy * (1 - wx)
+        + v11 * wy * wx
+    )
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+def roi_align(
+    feat: jnp.ndarray,
+    boxes_xyxy: jnp.ndarray,
+    output_size: int,
+    spatial_scale: float,
+    sampling_ratio: int = 2,
+) -> jnp.ndarray:
+    """ROIAlign (Mask R-CNN, aligned=True convention).
+
+    feat: (H, W, C) one level's feature map; boxes: (N, 4) xyxy in image coords.
+    Output (N, output_size, output_size, C): each bin averages
+    sampling_ratio^2 bilinear samples. The aligned=True half-pixel shift
+    (continuous coordinate c maps to pixel index c*scale - 0.5) matches
+    detectron2's ROIAlign(aligned=True), which DensePose uses.
+    """
+
+    def one_box(box):
+        x1, y1, x2, y2 = box * spatial_scale
+        bw = jnp.maximum(x2 - x1, 1e-6)
+        bh = jnp.maximum(y2 - y1, 1e-6)
+        bin_w = bw / output_size
+        bin_h = bh / output_size
+        n = sampling_ratio
+        # Sample point grid: for output bin (i,j), samples at
+        # y1 + (i + (k+0.5)/n) * bin_h, k in [0, n).
+        grid = (jnp.arange(output_size)[:, None] + (jnp.arange(n)[None, :] + 0.5) / n)
+        ys = (y1 + grid.reshape(-1) * bin_h) - 0.5  # aligned=True shift
+        xs = (x1 + grid.reshape(-1) * bin_w) - 0.5
+        samples = _bilinear_sample(feat, ys[:, None], xs[None, :])
+        # (out*n, out*n, C) -> average n x n sample blocks.
+        c = samples.shape[-1]
+        samples = samples.reshape(output_size, n, output_size, n, c)
+        return samples.mean(axis=(1, 3))
+
+    return jax.vmap(one_box)(boxes_xyxy.astype(jnp.float32))
+
+
+def box_iou(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Pairwise IoU of xyxy boxes: (N, 4) x (M, 4) -> (N, M)."""
+    area_a = jnp.maximum(a[:, 2] - a[:, 0], 0) * jnp.maximum(a[:, 3] - a[:, 1], 0)
+    area_b = jnp.maximum(b[:, 2] - b[:, 0], 0) * jnp.maximum(b[:, 3] - b[:, 1], 0)
+    lt = jnp.maximum(a[:, None, :2], b[None, :, :2])
+    rb = jnp.minimum(a[:, None, 2:], b[None, :, 2:])
+    wh = jnp.maximum(rb - lt, 0)
+    inter = wh[..., 0] * wh[..., 1]
+    union = area_a[:, None] + area_b[None, :] - inter
+    return inter / jnp.maximum(union, 1e-9)
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def nms(
+    boxes_xyxy: jnp.ndarray, scores: jnp.ndarray, max_out: int, iou_threshold: float = 0.5
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Greedy NMS with a static output count.
+
+    Returns (keep_indices (max_out,) int32, keep_mask (max_out,) bool). Suppressed
+    slots repeat index 0 with mask False. Fixed-trip fori_loop — no data-dependent
+    shapes, so it compiles once and fuses into the detector graph.
+    """
+    n = boxes_xyxy.shape[0]
+    iou = box_iou(boxes_xyxy, boxes_xyxy)
+    neg_inf = jnp.finfo(jnp.float32).min
+
+    def body(i, state):
+        live_scores, keep_idx, keep_mask = state
+        best = jnp.argmax(live_scores)
+        best_score = live_scores[best]
+        valid = best_score > neg_inf / 2
+        keep_idx = keep_idx.at[i].set(jnp.where(valid, best, 0))
+        keep_mask = keep_mask.at[i].set(valid)
+        # Suppress the chosen box and all high-IoU boxes.
+        suppress = (iou[best] > iou_threshold) | (
+            jnp.arange(n) == best
+        )
+        live_scores = jnp.where(valid & suppress, neg_inf, live_scores)
+        return live_scores, keep_idx, keep_mask
+
+    init = (
+        scores.astype(jnp.float32),
+        jnp.zeros((max_out,), jnp.int32),
+        jnp.zeros((max_out,), bool),
+    )
+    _, keep_idx, keep_mask = jax.lax.fori_loop(0, max_out, body, init)
+    return keep_idx, keep_mask
+
+
+def clip_boxes(boxes: jnp.ndarray, hw: Tuple[int, int]) -> jnp.ndarray:
+    h, w = hw
+    x1 = jnp.clip(boxes[:, 0], 0, w)
+    y1 = jnp.clip(boxes[:, 1], 0, h)
+    x2 = jnp.clip(boxes[:, 2], 0, w)
+    y2 = jnp.clip(boxes[:, 3], 0, h)
+    return jnp.stack([x1, y1, x2, y2], axis=-1)
+
+
+def apply_deltas(anchors: jnp.ndarray, deltas: jnp.ndarray,
+                 clip: float = 4.135) -> jnp.ndarray:
+    """Standard R-CNN box decoding: (dx, dy, dw, dh) deltas on xyxy anchors."""
+    ax = (anchors[:, 0] + anchors[:, 2]) * 0.5
+    ay = (anchors[:, 1] + anchors[:, 3]) * 0.5
+    aw = anchors[:, 2] - anchors[:, 0]
+    ah = anchors[:, 3] - anchors[:, 1]
+    dx, dy, dw, dh = deltas[:, 0], deltas[:, 1], deltas[:, 2], deltas[:, 3]
+    cx = ax + dx * aw
+    cy = ay + dy * ah
+    w = aw * jnp.exp(jnp.clip(dw, -clip, clip))
+    h = ah * jnp.exp(jnp.clip(dh, -clip, clip))
+    return jnp.stack([cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2], axis=-1)
