@@ -72,6 +72,19 @@ class ChalearnVideoDataset:
             self.sampling = "random" if name_of_set == "train" else "uniform"
         else:
             self.sampling = sampling
+        # Host decode backend: C++ worker pool when available (DATA.BACKEND
+        # 'auto'/'native'), else the cv2 Python path.
+        self._native = None
+        backend = str(cfg.DATA.BACKEND)
+        if not self.synthetic and backend in ("auto", "native"):
+            from ..native.loader import native_available
+
+            if native_available():
+                from ..native.loader import NativeClipLoader
+
+                self._native = NativeClipLoader(num_threads=min(int(cfg.NUM_CPU), 8))
+            elif backend == "native":
+                raise RuntimeError("DATA.BACKEND='native' but native loader unavailable")
 
     def __len__(self) -> int:
         return len(self.labels)
@@ -132,6 +145,18 @@ class ChalearnVideoDataset:
                  nsetx3x5: Path) -> np.ndarray:
         if self.synthetic:
             return self._synthetic_clip(index, clip_indices)
+        if self._native is not None:
+            from ..native.loader import frame_paths_for
+
+            paths: List[str] = []
+            for i in clip_indices:
+                paths.extend(
+                    frame_paths_for(
+                        Path(self.cfg.CHALEARN.ROOT), self.crop_folder,
+                        nsetx3x5 / names[i],
+                    )
+                )
+            return self._native.load_clip(paths, len(clip_indices), self.crop_size)
         frames = [self._load_frame(nsetx3x5 / names[i]) for i in clip_indices]
         return np.stack(frames)  # (T, size, size, 21) uint8
 
