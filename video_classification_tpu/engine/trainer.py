@@ -46,15 +46,20 @@ class TrainState(train_state.TrainState):
 
 
 class Trainer:
-    def __init__(self, cfg, mesh=None, torch_warmstart: Optional[Path] = None):
+    def __init__(self, cfg, mesh=None, torch_warmstart: Optional[Path] = None,
+                 dataset_factory=None, model_manager=None):
+        """dataset_factory(cfg, name_of_set) and model_manager are injectable —
+        the v2 slice swaps in its video-native dataset and (5, 2)-pathway model
+        manager while reusing the whole train/eval/checkpoint machinery."""
         self.cfg = cfg
         self.debug = bool(cfg.DEBUG)
         self.batch_size = int(cfg.CHALEARN.BATCH_SIZE)
 
-        self.train_dataset = ChalearnVideoDataset(cfg, "train")
-        self.test_dataset = ChalearnVideoDataset(cfg, "test")
+        make_ds = dataset_factory or ChalearnVideoDataset
+        self.train_dataset = make_ds(cfg, "train")
+        self.test_dataset = make_ds(cfg, "test")
 
-        self.mm = ModelManager(cfg)
+        self.mm = model_manager if model_manager is not None else ModelManager(cfg)
         self.model = self.mm.init_model()
         self.mesh = mesh if mesh is not None else make_mesh(cfg)
         self.logger = MetricsLogger.for_model(cfg) if not self.debug else MetricsLogger()
