@@ -148,9 +148,11 @@ class Trainer:
         batches = train_batches(
             self.train_dataset, self.batch_size, seed=int(self.cfg.TPU.SEED) + epoch
         )
-        for batch in batches:
+        from ..data.pipeline import prefetch_to_device
+
+        depth = int(self.cfg.TPU.PREFETCH_DEPTH)
+        for sharded in prefetch_to_device(batches, self.mesh, depth):
             self.rng, step_rng = jax.random.split(self.rng)
-            sharded = shard_batch(self.mesh, batch)
             self.state, metrics = self._train_step(
                 self.state, sharded["x"], sharded["label"], step_rng
             )

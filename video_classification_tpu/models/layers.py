@@ -13,9 +13,10 @@ full global batch — cross-replica sync-BN comes for free, no axis_name plumbin
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Any, Sequence, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 BN_MOMENTUM = 0.9  # == torch momentum 0.1
@@ -42,13 +43,65 @@ def conv3d(features, kernel, strides=(1, 1, 1), use_bias=False, *, name,
     )
 
 
-def batch_norm(train: bool, *, name, param_dtype=jnp.float32) -> nn.BatchNorm:
-    """BatchNorm with torch-parity momentum/eps; float32 statistics."""
-    return nn.BatchNorm(
+class BatchNormLean(nn.Module):
+    """Bandwidth-lean BatchNorm: f32 statistics, compute-dtype tensor path.
+
+    Functionally equivalent to torch BatchNorm3d(momentum=0.1, eps=1e-5) /
+    flax BatchNorm(momentum=0.9), but the large activation tensor is only ever
+    read/written in the compute dtype (bfloat16 on TPU): the per-channel mean/var
+    reductions accumulate in float32 (XLA fuses the cast into the reduce), and the
+    normalization is applied as one fused  x * a + b  with precomputed f32 scalars
+    cast down — halving the HBM traffic of the f32-activation formulation, which
+    profiling showed dominated the step (the model is HBM-bound, ~17:1
+    bytes-to-flops against v5e's ~4:1 balance point).
+
+    Param/stat layout matches flax BatchNorm ({scale, bias} / {mean, var}) so the
+    torch converter and checkpoints are unaffected.
+    """
+
+    dtype: Any = None  # output/tensor dtype; None = input dtype
+    param_dtype: Any = jnp.float32
+    momentum: float = BN_MOMENTUM
+    epsilon: float = BN_EPS
+    use_running_average: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        features = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (features,), self.param_dtype)
+        bias = self.param("bias", nn.initializers.zeros, (features,), self.param_dtype)
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((features,), jnp.float32)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((features,), jnp.float32)
+        )
+
+        if self.use_running_average:
+            mean = ra_mean.value
+            var = ra_var.value
+        else:
+            axes = tuple(range(x.ndim - 1))
+            xf = x.astype(jnp.float32)
+            mean = jnp.mean(xf, axis=axes)
+            mean2 = jnp.mean(jnp.square(xf), axis=axes)
+            var = jnp.maximum(mean2 - jnp.square(mean), 0.0)
+            if not self.is_initializing():
+                m = self.momentum
+                ra_mean.value = m * ra_mean.value + (1 - m) * mean
+                ra_var.value = m * ra_var.value + (1 - m) * var
+
+        inv = jax.lax.rsqrt(var + self.epsilon) * scale.astype(jnp.float32)
+        shift = bias.astype(jnp.float32) - mean * inv
+        out_dtype = self.dtype or x.dtype
+        return x.astype(out_dtype) * inv.astype(out_dtype) + shift.astype(out_dtype)
+
+
+def batch_norm(train: bool, *, name, param_dtype=jnp.float32, dtype=None) -> BatchNormLean:
+    """BatchNorm with torch-parity momentum/eps; float32 statistics, lean I/O."""
+    return BatchNormLean(
         use_running_average=not train,
-        momentum=BN_MOMENTUM,
-        epsilon=BN_EPS,
-        dtype=jnp.float32,
+        dtype=dtype,
         param_dtype=param_dtype,
         name=name,
     )

@@ -257,6 +257,7 @@ class SlowFast(nn.Module):
     fusion_mode: str = "default"  # cfg.MODEL.FUSION_MODE
     head_pool_kernels: Tuple[Tuple[int, int, int], ...] = ((4, 2, 2), (4, 2, 2))
     dropout_rate: float = 0.5
+    remat: bool = False  # jax.checkpoint each stage: trade FLOPs for HBM (cfg.TPU.REMAT)
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
 
@@ -285,12 +286,15 @@ class SlowFast(nn.Module):
 
         # Blocks 1..4: stages + fusion (fusion after stages 1..3 only:
         # max_stage_idx == 3 in my_slowfast.py:256).
+        # With remat, each stage's activations are recomputed in the backward
+        # pass instead of living in HBM — larger batches at ~1.3x FLOPs.
+        Stage = nn.remat(ResStage, static_argnums=(2,)) if self.remat else ResStage
         stage_dim_in = slow_dim       # 64
         stage_dim_out = slow_dim * 4  # 256
         for idx in range(len(self.depths)):
             dims_in_slow = stage_dim_in + stage_dim_in * fusion_ratio // reduction
             del dims_in_slow  # input dim implied by the incoming tensor; kept for clarity
-            slow = ResStage(
+            slow = Stage(
                 self.depths[idx],
                 dim_inner=stage_dim_out // 4,
                 dim_out=stage_dim_out,
@@ -300,7 +304,7 @@ class SlowFast(nn.Module):
                 name=f"blocks_{idx + 1}_pathway_0",
                 **kw,
             )(xs[0], train)
-            fast = ResStage(
+            fast = Stage(
                 self.depths[idx],
                 dim_inner=stage_dim_out // 4 // reduction,
                 dim_out=stage_dim_out // reduction,
@@ -338,6 +342,7 @@ def init_my_slowfast(cfg, input_channels=(5, 15), stem_dim_outs=(64, 8)) -> Slow
         depths=MODEL_STAGE_DEPTH[int(cfg.MODEL.DEPTH)],
         fuse=bool(cfg.MODEL.FUSE),
         fusion_mode=str(cfg.MODEL.FUSION_MODE),
+        remat=bool(cfg.TPU.REMAT),
         dtype=jnp.dtype(cfg.TPU.COMPUTE_DTYPE),
         param_dtype=jnp.dtype(cfg.TPU.PARAM_DTYPE),
     )
