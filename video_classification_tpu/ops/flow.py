@@ -45,6 +45,10 @@ class FlowParams(NamedTuple):
     n_sor: int = 30
     omega: float = 1.8        # SOR over-relaxation (Liu's solver uses 1.8)
     eps: float = 1e-6         # Charbonnier epsilon^2
+    # SOR backend: 'auto' = Pallas VMEM-resident kernel on TPU when the frame
+    # fits the VMEM budget, XLA loop otherwise; 'xla' | 'pallas' |
+    # 'pallas_interpret' force a choice (the latter for CPU testing).
+    backend: str = "auto"
 
 
 DEFAULT_PARAMS = FlowParams()
@@ -157,6 +161,16 @@ def _checkerboard(h: int, w: int) -> jnp.ndarray:
     return ((r + c) % 2 == 0)[None]  # (1, H, W) bool, True = red
 
 
+def _use_pallas_sor(p: FlowParams, h: int, w: int) -> bool:
+    from .pallas_flow import fits_vmem
+
+    if p.backend in ("pallas", "pallas_interpret"):
+        return True
+    if p.backend == "xla":
+        return False
+    return jax.default_backend() == "tpu" and fits_vmem(h, w)
+
+
 def _flow_level(im1, im2, u, v, p: FlowParams):
     """Refine flow at one pyramid level. im*: (B,H,W,C) float32; u,v: (B,H,W)."""
     b, h, w, _ = im1.shape
@@ -193,23 +207,33 @@ def _flow_level(im1, im2, u, v, p: FlowParams):
             diag_u = a11 + p.alpha * wsum
             diag_v = a22 + p.alpha * wsum
 
-            def half_sweep(du, dv, mask):
-                # total-flow smoothness term: sum w_pq ((u_q+du_q) - u_p)
-                su = _weighted_neighbor_apply(u + du, wu_, wd_, wl_, wr_) - wsum * u
-                new_du = (b1 - a12 * dv + p.alpha * su) / diag_u
-                du = jnp.where(mask, (1 - p.omega) * du + p.omega * new_du, du)
-                sv = _weighted_neighbor_apply(v + dv, wu_, wd_, wl_, wr_) - wsum * v
-                new_dv = (b2 - a12 * du + p.alpha * sv) / diag_v
-                dv = jnp.where(mask, (1 - p.omega) * dv + p.omega * new_dv, dv)
-                return du, dv
+            if _use_pallas_sor(p, h, w):
+                from .pallas_flow import sor_solve_pallas
 
-            def sor_body(_, carry):
-                du, dv = carry
-                du, dv = half_sweep(du, dv, red)
-                du, dv = half_sweep(du, dv, ~red)
-                return du, dv
+                du, dv = sor_solve_pallas(
+                    a11, a12, a22, b1, b2, wu_, wd_, wl_, wr_, u, v,
+                    p.n_sor, p.alpha, p.omega,
+                    interpret=(p.backend == "pallas_interpret"),
+                    du0=du, dv0=dv,
+                )
+            else:
+                def half_sweep(du, dv, mask):
+                    # total-flow smoothness term: sum w_pq ((u_q+du_q) - u_p)
+                    su = _weighted_neighbor_apply(u + du, wu_, wd_, wl_, wr_) - wsum * u
+                    new_du = (b1 - a12 * dv + p.alpha * su) / diag_u
+                    du = jnp.where(mask, (1 - p.omega) * du + p.omega * new_du, du)
+                    sv = _weighted_neighbor_apply(v + dv, wu_, wd_, wl_, wr_) - wsum * v
+                    new_dv = (b2 - a12 * du + p.alpha * sv) / diag_v
+                    dv = jnp.where(mask, (1 - p.omega) * dv + p.omega * new_dv, dv)
+                    return du, dv
 
-            du, dv = jax.lax.fori_loop(0, p.n_sor, sor_body, (du, dv))
+                def sor_body(_, carry):
+                    du, dv = carry
+                    du, dv = half_sweep(du, dv, red)
+                    du, dv = half_sweep(du, dv, ~red)
+                    return du, dv
+
+                du, dv = jax.lax.fori_loop(0, p.n_sor, sor_body, (du, dv))
 
         u = u + du
         v = v + dv

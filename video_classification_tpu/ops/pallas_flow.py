@@ -1,0 +1,133 @@
+"""Pallas TPU kernel for the variational-flow SOR solve.
+
+The hot loop of the optical-flow solver (ops/flow.py) is ``n_sor`` red-black SOR
+sweeps over ~10 (H, W) float32 arrays. Expressed in plain XLA, every half-sweep
+reads and writes those arrays through HBM; for the default 30 iterations on a
+240x320 frame that is ~100 MB of traffic per (frame pair, outer iteration) for
+~2 MB of state. This kernel runs the *entire* SOR solve per frame pair inside one
+``pallas_call`` program: all state stays in VMEM for the duration (~4 MB at
+240x320 — comfortably under the ~16 MB/core budget), the red/black masks come
+from ``broadcasted_iota``, and the sweep loop is an in-kernel ``fori_loop``.
+
+Grid: one program per batch element (frame pair). The kernel matches the XLA
+reference half-sweep semantics in ops/flow._flow_level exactly (same masks, same
+neighbor weighting, same over-relaxation) — tested against it in interpret mode
+on CPU and used on TPU when the frame fits the VMEM budget (ops/flow.py wires it
+in automatically).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+# VMEM budget: ~14 (H, W) float32 arrays live in the kernel.
+_VMEM_ARRAYS = 14
+_VMEM_BUDGET_BYTES = 12 * 1024 * 1024
+
+
+def fits_vmem(h: int, w: int) -> bool:
+    return _VMEM_ARRAYS * h * w * 4 <= _VMEM_BUDGET_BYTES
+
+
+def _shift(x, dy: int, dx: int):
+    """Neighbor access with zero fill outside the image (matches the zero-padded
+    neighbor convention of ops/flow._weighted_neighbor_apply)."""
+    h, w = x.shape
+    out = x
+    if dy:
+        out = jnp.roll(out, dy, axis=0)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+        out = jnp.where(rows >= dy if dy > 0 else rows < h + dy, out, 0.0)
+    if dx:
+        out = jnp.roll(out, dx, axis=1)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+        out = jnp.where(cols >= dx if dx > 0 else cols < w + dx, out, 0.0)
+    return out
+
+
+def _sor_kernel(n_sor, alpha, omega,
+                a11_ref, a12_ref, a22_ref, b1_ref, b2_ref,
+                wu_ref, wd_ref, wl_ref, wr_ref, u_ref, v_ref,
+                du0_ref, dv0_ref, du_out, dv_out):
+    a11 = a11_ref[0]
+    a12 = a12_ref[0]
+    a22 = a22_ref[0]
+    b1 = b1_ref[0]
+    b2 = b2_ref[0]
+    wu = wu_ref[0]
+    wd = wd_ref[0]
+    wl = wl_ref[0]
+    wr = wr_ref[0]
+    u = u_ref[0]
+    v = v_ref[0]
+    h, w = a11.shape
+
+    wsum = wu + wd + wl + wr
+    diag_u = a11 + alpha * wsum
+    diag_v = a22 + alpha * wsum
+
+    rows = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    red = ((rows + cols) % 2) == 0
+
+    def neighbor(f):
+        # sum_q w_pq * f_q over the 4-neighborhood; weights stored at p. The
+        # up-neighbor's value reaches p by shifting the field down, etc.
+        return (
+            wu * _shift(f, 1, 0)
+            + wd * _shift(f, -1, 0)
+            + wl * _shift(f, 0, 1)
+            + wr * _shift(f, 0, -1)
+        )
+
+    def half(du, dv, mask):
+        su = neighbor(u + du) - wsum * u
+        new_du = (b1 - a12 * dv + alpha * su) / diag_u
+        du = jnp.where(mask, (1 - omega) * du + omega * new_du, du)
+        sv = neighbor(v + dv) - wsum * v
+        new_dv = (b2 - a12 * du + alpha * sv) / diag_v
+        dv = jnp.where(mask, (1 - omega) * dv + omega * new_dv, dv)
+        return du, dv
+
+    def body(_, carry):
+        du, dv = carry
+        du, dv = half(du, dv, red)
+        du, dv = half(du, dv, ~red)
+        return du, dv
+
+    du, dv = jax.lax.fori_loop(0, n_sor, body, (du0_ref[0], dv0_ref[0]))
+    du_out[0] = du
+    dv_out[0] = dv
+
+
+@functools.partial(jax.jit, static_argnums=(11, 12, 13, 14))
+def sor_solve_pallas(a11, a12, a22, b1, b2, wu, wd, wl, wr, u, v,
+                     n_sor: int, alpha: float, omega: float,
+                     interpret: bool = False, du0=None, dv0=None):
+    """Batched SOR solve: all inputs (B, H, W) float32 -> (du, dv), each (B, H, W).
+
+    ``du0``/``dv0`` warm-start the increments (zeros by default — the n_inner=1
+    case of the reference parameters)."""
+    b, h, w = a11.shape
+    if du0 is None:
+        du0 = jnp.zeros((b, h, w), jnp.float32)
+    if dv0 is None:
+        dv0 = jnp.zeros((b, h, w), jnp.float32)
+    kernel = functools.partial(_sor_kernel, n_sor, alpha, omega)
+    grid_spec = pl.GridSpec(
+        grid=(b,),
+        in_specs=[pl.BlockSpec((1, h, w), lambda i: (i, 0, 0)) for _ in range(13)],
+        out_specs=[pl.BlockSpec((1, h, w), lambda i: (i, 0, 0)) for _ in range(2)],
+    )
+    out_shape = [jax.ShapeDtypeStruct((b, h, w), jnp.float32)] * 2
+    du, dv = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(a11, a12, a22, b1, b2, wu, wd, wl, wr, u, v, du0, dv0)
+    return du, dv
