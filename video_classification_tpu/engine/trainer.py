@@ -151,16 +151,19 @@ class Trainer:
         from ..data.pipeline import prefetch_to_device
 
         depth = int(self.cfg.TPU.PREFETCH_DEPTH)
+        pending = []  # device-side metrics; fetched once per epoch (no per-step sync)
         for sharded in prefetch_to_device(batches, self.mesh, depth):
             self.rng, step_rng = jax.random.split(self.rng)
             self.state, metrics = self._train_step(
                 self.state, sharded["x"], sharded["label"], step_rng
             )
+            pending.append(metrics)
+            if self.debug:
+                break
+        for metrics in jax.device_get(pending):
             losses.append(float(metrics["loss"]))
             correct += int(metrics["correct"])
             count += int(metrics["count"])
-            if self.debug:
-                break
         loss_avg = float(np.mean(losses)) if losses else float("nan")
         acc = correct / max(count, 1)
         self.logger.log("train_epoch", epoch=epoch, loss=loss_avg, acc=acc,
@@ -207,16 +210,16 @@ class Trainer:
             ds = dataset if dataset is not None else self.test_dataset
             batches, samples_per_video = eval_batches(ds, self.batch_size)
 
-        score_chunks: List[np.ndarray] = []
-        label_chunks: List[np.ndarray] = []
+        pending = []  # (device scores, host valid, host labels); fetched once
         it = itertools.islice(batches, DEBUG_EVAL_BATCHES) if self.debug else batches
         for batch in it:
             sharded = shard_batch(self.mesh, batch)
             scores = self._eval_step(self.state, sharded["x"])
-            valid = batch["valid"]
-            score_chunks.append(np.asarray(scores)[valid])
-            label_chunks.append(batch["label"][valid])
+            pending.append((scores, batch["valid"], batch["label"]))
 
+        fetched = jax.device_get([p[0] for p in pending])
+        score_chunks = [s[v] for s, (_, v, _l) in zip(fetched, pending)]
+        label_chunks = [l[v] for _, v, l in pending]
         ps = np.concatenate(score_chunks, axis=0)
         t = np.concatenate(label_chunks, axis=0)
         sv = list(samples_per_video)
