@@ -34,19 +34,19 @@ def fits_vmem(h: int, w: int) -> bool:
 
 
 def _shift(x, dy: int, dx: int):
-    """Neighbor access with zero fill outside the image (matches the zero-padded
-    neighbor convention of ops/flow._weighted_neighbor_apply)."""
+    """Zero-filled shift (matches the zero-padded neighbor convention of
+    ops/flow._weighted_neighbor_apply). Implemented with static slices +
+    concatenation — the most Mosaic-friendly formulation."""
     h, w = x.shape
-    out = x
-    if dy:
-        out = jnp.roll(out, dy, axis=0)
-        rows = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
-        out = jnp.where(rows >= dy if dy > 0 else rows < h + dy, out, 0.0)
-    if dx:
-        out = jnp.roll(out, dx, axis=1)
-        cols = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
-        out = jnp.where(cols >= dx if dx > 0 else cols < w + dx, out, 0.0)
-    return out
+    if dy > 0:
+        x = jnp.concatenate([jnp.zeros((dy, w), x.dtype), x[:-dy]], axis=0)
+    elif dy < 0:
+        x = jnp.concatenate([x[-dy:], jnp.zeros((-dy, w), x.dtype)], axis=0)
+    if dx > 0:
+        x = jnp.concatenate([jnp.zeros((h, dx), x.dtype), x[:, :-dx]], axis=1)
+    elif dx < 0:
+        x = jnp.concatenate([x[:, -dx:], jnp.zeros((h, -dx), x.dtype)], axis=1)
+    return x
 
 
 def _sor_kernel(n_sor, alpha, omega,
