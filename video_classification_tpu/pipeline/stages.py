@@ -300,6 +300,9 @@ def iuv_to_crop(cfg, sets: Sequence[str] = SETS,
                     continue
                 best = int(np.argmax(item["scores"]))
                 bx1, by1, bx2, by2 = item["pred_boxes_XYXY"][best].astype(int)
+                if bx2 - bx1 < 1 or by2 - by1 < 1:
+                    print(f"Degenerate box detection: {pad_img_path}")
+                    continue
 
                 # -- body crop + companions (crop_body, :61-94)
                 img = cv2.imread(str(pad_img_path))
