@@ -75,12 +75,16 @@ def label_components(mask: jnp.ndarray, max_iters: int | None = None) -> jnp.nda
     return labels
 
 
-def largest_component_bbox(mask: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+def largest_component_bbox(
+    mask: jnp.ndarray, min_size: int = MIN_PART_SIZE
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """(bbox xywh int32, valid bool) of the largest-bbox-area component.
 
     Reproduces the reference selection rule exactly: per component take
-    cv2.boundingRect's (w*h), pick the max, discard if w<15 or h<15 or no
-    foreground (chalearn_iuv_to_crop.py:121-149).
+    cv2.boundingRect's (w*h), pick the max, discard if w<min_size or h<min_size
+    or no foreground (chalearn_iuv_to_crop.py:121-149). Pass ``min_size=0`` when
+    the caller applies the size rule at a different scale (device_pipeline runs
+    CC at heatmap resolution and checks size in pixels).
     """
     h, w = mask.shape
     labels = label_components(mask)
@@ -111,7 +115,7 @@ def largest_component_bbox(mask: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]
     best = jnp.argmax(areas)
     bw, bh = widths[best], heights[best]
     bbox = jnp.stack([min_c[best], min_r[best], bw, bh]).astype(jnp.int32)
-    valid = (areas[best] > 0) & (bw >= MIN_PART_SIZE) & (bh >= MIN_PART_SIZE)
+    valid = (areas[best] > 0) & (bw >= min_size) & (bh >= min_size)
     bbox = jnp.where(valid, bbox, jnp.zeros(4, jnp.int32))
     return bbox, valid
 
