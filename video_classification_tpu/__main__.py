@@ -45,6 +45,8 @@ def main(argv=None):
 
     p = sub.add_parser("train", help="train one or more model configs in sequence")
     p.add_argument("models", nargs="+", help="config names, e.g. slowfast-Torso")
+    p.add_argument("--warmstart", default=None,
+                   help="torch .pyth/.ckpt pickle for the tier-3 Kinetics warm start")
     _add_opts(p)
 
     p = sub.add_parser("train-parts", help="train the 8 extra crop streams")
@@ -91,8 +93,9 @@ def main(argv=None):
     if args.cmd == "train":
         from .engine import Trainer
 
+        warm = Path(args.warmstart) if args.warmstart else None
         for name in args.models:  # sequential multi-config loop (train.py:408-415)
-            Trainer(_cfg_for(name, args)).train()
+            Trainer(_cfg_for(name, args), torch_warmstart=warm).train()
     elif args.cmd == "train-parts":
         from .engine import train_unimportant_parts
 

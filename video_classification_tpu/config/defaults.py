@@ -75,6 +75,7 @@ _C.TPU.PREFETCH_DEPTH = 2          # Device-side double buffering depth.
 _C.TPU.DONATE_STATE = True         # Donate train state buffers to the step fn.
 _C.TPU.REMAT = False               # jax.checkpoint the stages (memory/compute trade).
 _C.TPU.SEED = 0
+_C.TPU.COMPILATION_CACHE_DIR = ""  # non-empty: persistent XLA compile cache.
 
 _C.DATA = CfgNode()
 _C.DATA.BACKEND = "auto"     # Host decode backend: 'auto' | 'cv2' | 'native' | 'synthetic'.

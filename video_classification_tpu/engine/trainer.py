@@ -55,6 +55,9 @@ class Trainer:
         self.debug = bool(cfg.DEBUG)
         self.batch_size = int(cfg.CHALEARN.BATCH_SIZE)
 
+        if cfg.TPU.COMPILATION_CACHE_DIR:
+            jax.config.update("jax_compilation_cache_dir", cfg.TPU.COMPILATION_CACHE_DIR)
+
         make_ds = dataset_factory or ChalearnVideoDataset
         self.train_dataset = make_ds(cfg, "train")
         self.test_dataset = make_ds(cfg, "test")
