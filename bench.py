@@ -72,10 +72,12 @@ def run(batch_size: int):
     batch = one_batch(cfg, trainer)
     sharded = shard_batch(trainer.mesh, batch)
 
+    weights = jnp.ones((batch["x"].shape[0],), jnp.float32)
+
     def step(rng):
         nonlocal sharded
         trainer.state, metrics = trainer._train_step(
-            trainer.state, sharded["x"], sharded["label"], rng
+            trainer.state, sharded["x"], sharded["label"], weights, rng
         )
         return metrics
 

@@ -100,9 +100,13 @@ class Trainer:
     def _build_train_step(self):
         mm, model = self.mm, self.model
 
-        def step(state: TrainState, x, labels, rng):
+        def step(state: TrainState, x, labels, weights, rng):
+            """weights: 1.0 for real samples, 0.0 for mesh-alignment padding
+            (reference batch sizes — 55, 80, 300 — rarely divide the chip count,
+            so ragged batches pad up and mask out)."""
             aug_rng, drop_rng = jax.random.split(rng)
             inputs = mm.normalize_and_prepare(x, augment_rng=aug_rng)
+            wsum = jnp.maximum(jnp.sum(weights), 1.0)
 
             def loss_fn(params):
                 logits, mutated = model.apply(
@@ -112,9 +116,8 @@ class Trainer:
                     mutable=["batch_stats"],
                     rngs={"dropout": drop_rng},
                 )
-                loss = optax.softmax_cross_entropy_with_integer_labels(
-                    logits, labels
-                ).mean()
+                ce = optax.softmax_cross_entropy_with_integer_labels(logits, labels)
+                loss = jnp.sum(ce * weights) / wsum
                 return loss, (logits, mutated["batch_stats"])
 
             (loss, (logits, new_stats)), grads = jax.value_and_grad(
@@ -122,8 +125,8 @@ class Trainer:
             )(state.params)
             state = state.apply_gradients(grads=grads)
             state = state.replace(batch_stats=new_stats)
-            correct = jnp.sum(jnp.argmax(logits, -1) == labels)
-            return state, {"loss": loss, "correct": correct, "count": labels.shape[0]}
+            correct = jnp.sum((jnp.argmax(logits, -1) == labels) * weights)
+            return state, {"loss": loss, "correct": correct, "count": jnp.sum(weights)}
 
         donate = (0,) if bool(self.cfg.TPU.DONATE_STATE) else ()
         return jax.jit(step, donate_argnums=donate)
@@ -142,6 +145,23 @@ class Trainer:
 
         return jax.jit(step)
 
+    def _pad_for_mesh(self, batch: Dict) -> Dict:
+        """Pad the batch dim up to a multiple of the data-axis size; 'weight' and
+        'valid' mark the real rows (padding replicates row 0, masked out)."""
+        from ..parallel import pad_batch_for_mesh
+
+        n = batch["x"].shape[0]
+        padded, n_real = pad_batch_for_mesh(batch, self.mesh)
+        total = padded["x"].shape[0]
+        weight = np.zeros((total,), np.float32)
+        weight[:n_real] = 1.0
+        padded = dict(padded)
+        padded["weight"] = weight
+        valid = np.zeros((total,), bool)
+        valid[:n_real] = np.asarray(batch.get("valid", np.ones(n, bool)))
+        padded["valid"] = valid
+        return padded
+
     # -- training ----------------------------------------------------------------
 
     def train_epoch(self, epoch: int) -> Dict[str, float]:
@@ -155,10 +175,12 @@ class Trainer:
 
         depth = int(self.cfg.TPU.PREFETCH_DEPTH)
         pending = []  # device-side metrics; fetched once per epoch (no per-step sync)
-        for sharded in prefetch_to_device(batches, self.mesh, depth):
+        for sharded in prefetch_to_device(
+            map(self._pad_for_mesh, batches), self.mesh, depth
+        ):
             self.rng, step_rng = jax.random.split(self.rng)
             self.state, metrics = self._train_step(
-                self.state, sharded["x"], sharded["label"], step_rng
+                self.state, sharded["x"], sharded["label"], sharded["weight"], step_rng
             )
             pending.append(metrics)
             if self.debug:
@@ -216,9 +238,10 @@ class Trainer:
         pending = []  # (device scores, host valid, host labels); fetched once
         it = itertools.islice(batches, DEBUG_EVAL_BATCHES) if self.debug else batches
         for batch in it:
-            sharded = shard_batch(self.mesh, batch)
+            padded = self._pad_for_mesh(batch)
+            sharded = shard_batch(self.mesh, padded)
             scores = self._eval_step(self.state, sharded["x"])
-            pending.append((scores, batch["valid"], batch["label"]))
+            pending.append((scores, padded["valid"], padded["label"]))
 
         fetched = jax.device_get([p[0] for p in pending])
         score_chunks = [s[v] for s, (_, v, _l) in zip(fetched, pending)]
