@@ -22,7 +22,7 @@ all ops are exercised; accuracy parity requires the converted weights).
 
 from __future__ import annotations
 
-from typing import Any, Dict, List, Sequence, Tuple
+from typing import Any, Sequence, Tuple
 
 import flax.linen as nn
 import jax

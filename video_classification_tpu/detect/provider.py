@@ -8,7 +8,7 @@ size — the role DensePose's post-processor plays in the reference stack.
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence
+from typing import List, Sequence
 
 import cv2
 import jax

@@ -14,7 +14,7 @@ flow stack to the fast pathway; depth unused).
 
 from __future__ import annotations
 
-from typing import Any, List, Tuple
+from typing import Any, List
 
 import jax
 import jax.numpy as jnp

@@ -33,7 +33,6 @@ from typing import NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 
-from .image import cubic_resize
 
 
 class FlowParams(NamedTuple):

@@ -13,7 +13,7 @@ process its per-host shard of the global batch via
 
 from __future__ import annotations
 
-from typing import Any, Optional, Sequence
+from typing import Any
 
 import jax
 import numpy as np

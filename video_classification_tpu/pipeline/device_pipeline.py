@@ -30,7 +30,6 @@ Design notes:
 
 from __future__ import annotations
 
-import functools
 from typing import Dict, NamedTuple, Sequence, Tuple
 
 import jax

@@ -34,7 +34,7 @@ import cv2
 import numpy as np
 
 from ..config.crop_cfg import crop_part_args
-from ..ops.components import MIN_PART_SIZE, largest_component_bbox_batch, part_mask
+from ..ops.components import largest_component_bbox_batch, part_mask
 from ..ops.flow import DEFAULT_PARAMS, FlowParams, flow_energy_filter, video_flow_uint8
 from ..utils.labels import parse_label_lines, write_labels
 from .iuv_contract import IUVDetection, IUVProvider

@@ -7,7 +7,7 @@ clip) bounding-box unions producing one fixed crop box per clip.
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import numpy as np
 
