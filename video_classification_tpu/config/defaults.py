@@ -71,7 +71,10 @@ _C.TPU.MESH_AXES = ["data"]       # Axis names; batch is sharded over 'data'.
 _C.TPU.COMPUTE_DTYPE = "bfloat16"  # MXU-friendly activations/compute dtype.
 _C.TPU.PARAM_DTYPE = "float32"     # Master weights.
 _C.TPU.CROSS_REPLICA_BN = True     # Sync batch-norm stats over the 'data' axis.
-_C.TPU.PREFETCH_DEPTH = 2          # Device-side double buffering depth.
+_C.TPU.PREFETCH_DEPTH = 1  # Device-side double buffering depth. Each queued batch
+                           # holds HBM (~0.5 GB at batch 32/192px); with the
+                           # flagship step's ~15 GB working set, 1 is the safe
+                           # default on 16 GB chips.
 _C.TPU.DONATE_STATE = True         # Donate train state buffers to the step fn.
 _C.TPU.REMAT = False               # jax.checkpoint the stages (memory/compute trade).
 _C.TPU.SEED = 0
