@@ -30,17 +30,28 @@ def ckpt_dir(cfg) -> Path:
     return Path(cfg.CHALEARN.ROOT, cfg.MODEL.LOGS, cfg.MODEL.CKPT_DIR, cfg.MODEL.NAME)
 
 
-def save_checkpoint(cfg, variables: Dict, epoch: int, acc: float) -> Optional[Path]:
-    """Write acc%.3f_e%d.ckpt (skipped in DEBUG, train.py:191-195)."""
+def save_checkpoint(cfg, variables: Dict, epoch: int, acc: float,
+                    backend: str = "msgpack") -> Optional[Path]:
+    """Write acc%.3f_e%d.ckpt (skipped in DEBUG, train.py:191-195).
+
+    backend 'msgpack' (default): single-file flax bytes — byte-for-byte what the
+    reference's state_dict-per-file scheme becomes here. backend 'orbax': an
+    orbax.checkpoint directory of the same name — the multi-host/async production
+    path (sharded arrays save in parallel per host).
+    """
     if cfg.DEBUG:
         return None
     d = ckpt_dir(cfg)
     d.mkdir(parents=True, exist_ok=True)
     path = d / ("acc%.3f_e%d.ckpt" % (acc, epoch))
-    data = serialization.to_bytes(
-        {k: variables[k] for k in ("params", "batch_stats") if k in variables}
-    )
-    path.write_bytes(data)
+    payload = {k: variables[k] for k in ("params", "batch_stats") if k in variables}
+    if backend == "orbax":
+        import orbax.checkpoint as ocp
+
+        with ocp.StandardCheckpointer() as ckptr:
+            ckptr.save(path.absolute(), payload)
+        return path
+    path.write_bytes(serialization.to_bytes(payload))
     return path
 
 
@@ -50,10 +61,14 @@ def _latest(pattern: str) -> Optional[Path]:
 
 
 def load_checkpoint_bytes(path: Path, template: Dict) -> Dict:
-    restored = serialization.from_bytes(
-        {k: template[k] for k in ("params", "batch_stats") if k in template},
-        path.read_bytes(),
-    )
+    tmpl = {k: template[k] for k in ("params", "batch_stats") if k in template}
+    if path.is_dir():  # orbax directory checkpoint
+        import orbax.checkpoint as ocp
+
+        with ocp.StandardCheckpointer() as ckptr:
+            restored = ckptr.restore(path.absolute(), tmpl)
+    else:
+        restored = serialization.from_bytes(tmpl, path.read_bytes())
     out = dict(template)
     out.update(restored)
     return out
