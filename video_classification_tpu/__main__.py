@@ -40,6 +40,17 @@ def _cfg_for(name, args):
 
 
 def main(argv=None):
+    import os
+
+    # Explicit platform pin (e.g. VCT_PLATFORM=cpu for host-side smoke runs).
+    # Needed because environment-level plugin registration can re-add platforms
+    # after JAX_PLATFORMS is read.
+    plat = os.environ.get("VCT_PLATFORM")
+    if plat:
+        import jax
+
+        jax.config.update("jax_platforms", plat)
+
     parser = argparse.ArgumentParser(prog="video_classification_tpu")
     sub = parser.add_subparsers(dest="cmd", required=True)
 
