@@ -1,0 +1,88 @@
+"""Pallas TPU kernel for connected-component label propagation.
+
+The CC-labeling inner loop (ops/components.py) is an iterative 8-neighborhood
+min-propagation whose trip count can reach H+W; in plain XLA every iteration
+round-trips the (H, W) label map through HBM. This kernel keeps the labels in
+VMEM for the whole propagation (grid = one program per mask in the batch), with
+the neighbor mins computed from static-slice shifts — the same Mosaic-friendly
+formulation as the flow SOR kernel (ops/pallas_flow.py).
+
+Fixed trip count: the propagation runs ``n_iters`` times unconditionally (the
+XLA path early-exits on a change flag; in VMEM an iteration is cheap enough that
+the fixed bound wins). Matches ops/components.label_components bit-for-bit:
+foreground pixels get their component's minimum linear index, background INT32_MAX.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+_VMEM_BUDGET_BYTES = 12 * 1024 * 1024
+
+
+def fits_vmem(h: int, w: int) -> bool:
+    # labels + mask + ~2 temporaries, int32.
+    return 4 * h * w * 4 <= _VMEM_BUDGET_BYTES
+
+
+_INF = jnp.iinfo(jnp.int32).max
+
+
+def _shift_min(x, dy: int, dx: int):
+    """Shifted copy with INF fill (labels outside the image are no-ops in min)."""
+    h, w = x.shape
+    if dy > 0:
+        x = jnp.concatenate([jnp.full((dy, w), _INF, x.dtype), x[:-dy]], axis=0)
+    elif dy < 0:
+        x = jnp.concatenate([x[-dy:], jnp.full((-dy, w), _INF, x.dtype)], axis=0)
+    if dx > 0:
+        x = jnp.concatenate([jnp.full((h, dx), _INF, x.dtype), x[:, :-dx]], axis=1)
+    elif dx < 0:
+        x = jnp.concatenate([x[:, -dx:], jnp.full((h, -dx), _INF, x.dtype)], axis=1)
+    return x
+
+
+def _cc_kernel(n_iters, mask_ref, labels_out):
+    mask = mask_ref[0] != 0
+    h, w = mask.shape
+    lin = (
+        jax.lax.broadcasted_iota(jnp.int32, (h, w), 0) * w
+        + jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    )
+    labels = jnp.where(mask, lin, _INF)
+
+    def body(_, labels):
+        neigh = labels
+        for dy, dx in ((1, 0), (-1, 0), (0, 1), (0, -1),
+                       (1, 1), (1, -1), (-1, 1), (-1, -1)):
+            neigh = jnp.minimum(neigh, _shift_min(labels, dy, dx))
+        return jnp.where(mask, jnp.minimum(labels, neigh), _INF)
+
+    labels = jax.lax.fori_loop(0, n_iters, body, labels)
+    labels_out[0] = labels
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def label_components_pallas(
+    masks: jnp.ndarray, n_iters: int | None = None, interpret: bool = False
+) -> jnp.ndarray:
+    """Batched CC labels: (B, H, W) bool/int -> (B, H, W) int32."""
+    b, h, w = masks.shape
+    if n_iters is None:
+        n_iters = h + w  # worst-case geodesic diameter
+    kernel = functools.partial(_cc_kernel, n_iters)
+    grid_spec = pl.GridSpec(
+        grid=(b,),
+        in_specs=[pl.BlockSpec((1, h, w), lambda i: (i, 0, 0))],
+        out_specs=pl.BlockSpec((1, h, w), lambda i: (i, 0, 0)),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, h, w), jnp.int32),
+        interpret=interpret,
+    )(masks.astype(jnp.int32))
