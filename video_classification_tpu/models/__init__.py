@@ -2,6 +2,7 @@ from .slowfast import SlowFast, init_my_slowfast
 from .resnet2d import ResNet50_2D, init_res2d
 from .res3d import Res3D, init_res3d
 from .sparse_fusion import SparseModel
+from .raft import RAFT
 from .torch_convert import (
     torch_to_flax,
     flax_to_torch,
@@ -17,6 +18,7 @@ __all__ = [
     "Res3D",
     "init_res3d",
     "SparseModel",
+    "RAFT",
     "torch_to_flax",
     "flax_to_torch",
     "delete_mismatch",

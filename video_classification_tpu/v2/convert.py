@@ -48,28 +48,63 @@ def _sample_m_videos(cfg) -> List[Path]:
 
 
 class ConvertVideoToFlow:
-    """Raw videos -> 2-channel flow videos (2_Flow_New)."""
+    """Raw videos -> 2-channel flow videos (2_Flow_New).
+
+    ``method='variational'`` (default) uses the batched coarse-to-fine kernel;
+    ``method='raft'`` uses the RAFT network (models/raft.py) like the reference's
+    v2 path (torchvision raft_large, new_feature_test.py:164-165) — pass trained
+    ``raft_variables`` for meaningful flow.
+    """
 
     def __init__(self, cfg, flow_params: FlowParams = DEFAULT_PARAMS,
-                 batch_size: int = 64) -> None:
+                 batch_size: int = 64, method: str = "variational",
+                 raft_variables=None, raft_iters: int = 12) -> None:
+        assert method in ("variational", "raft")
         self.cfg = cfg
         self.flow_base = cfg.CHALEARN.FLOW_VIDEO
         self.params = flow_params
         self.batch_size = batch_size
+        self.method = method
+        self._raft = None
+        self._raft_variables = raft_variables
+        if method == "raft":
+            from ..models.raft import RAFT
+
+            self._raft = RAFT(num_iters=raft_iters)
+
+    def _pairs_flow(self, im1: np.ndarray, im2: np.ndarray) -> np.ndarray:
+        """(B, H, W, 3) [0,1] pairs -> (B, 2, H, W) float flow in pixels."""
+        if self.method == "raft":
+            import jax
+
+            if self._raft_variables is None:
+                self._raft_variables = self._raft.init(
+                    jax.random.PRNGKey(0), jnp.asarray(im1[:1]), jnp.asarray(im2[:1])
+                )
+            up, _ = self._raft.apply(
+                self._raft_variables, jnp.asarray(im1), jnp.asarray(im2)
+            )
+            return np.asarray(up).transpose(0, 3, 1, 2)
+        u, v = coarse2fine_flow(jnp.asarray(im1), jnp.asarray(im2), self.params)
+        return np.stack([np.asarray(u), np.asarray(v)], axis=1)
 
     def _flow_from_file(self, filename: Path) -> Optional[np.ndarray]:
         frames = VideoIO.read_video(filename, format="rgb24")
         if len(frames) < 2:
             return None
         arr = np.stack(frames).astype(np.float32) / 255.0
+        if self.method == "raft":
+            # RAFT needs dims divisible by 8: reflect-pad up, crop after.
+            h, w = arr.shape[1:3]
+            ph, pw = (-h) % 8, (-w) % 8
+            arr_in = np.pad(arr, ((0, 0), (0, ph), (0, pw), (0, 0)), mode="reflect")
+        else:
+            arr_in = arr
         flows = []
         for start in range(0, len(arr) - 1, self.batch_size):
             end = min(len(arr) - 1, start + self.batch_size)
-            u, v = coarse2fine_flow(
-                jnp.asarray(arr[start:end]), jnp.asarray(arr[start + 1 : end + 1]),
-                self.params,
-            )
-            flows.append(np.stack([np.asarray(u), np.asarray(v)], axis=1))
+            f = self._pairs_flow(arr_in[start:end], arr_in[start + 1 : end + 1])
+            flows.append(f[:, :, : arr.shape[1], : arr.shape[2]])
         flow = np.concatenate(flows, axis=0)  # (T-1, 2, H, W)
         # v2 encoding (new_feature_test.py:222-225).
         flow = np.clip(flow, -30, 30) / 60 + 0.5
