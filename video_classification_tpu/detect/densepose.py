@@ -240,7 +240,6 @@ class DensePoseRCNN(nn.Module):
         seg, u, v = self.densepose_head(rois14)
         seg = seg.astype(jnp.float32)
         charts = jnp.argmax(seg, axis=-1).astype(jnp.int32)  # (N, hm, hm)
-        take = jax.vmap(lambda m, c: m[..., c])  # select U/V of the argmax chart
         hm = self.heatmap_size
         flat_c = charts.reshape(charts.shape[0], -1)
         u_sel = jnp.take_along_axis(
@@ -251,7 +250,6 @@ class DensePoseRCNN(nn.Module):
             v.astype(jnp.float32).reshape(v.shape[0], -1, NUM_CHARTS + 1),
             flat_c[..., None], axis=-1,
         )[..., 0].reshape(-1, hm, hm)
-        del take
         return {
             "boxes": final_boxes,                     # (D, 4) xyxy
             "scores": jnp.where(det_mask, final_scores, 0.0),  # (D,)

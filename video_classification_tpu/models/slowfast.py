@@ -264,6 +264,11 @@ class SlowFast(nn.Module):
     @nn.compact
     def __call__(self, xs: Sequence[jnp.ndarray], train: bool = False):
         assert len(xs) == 2, "two pathways (slow, fast)"
+        for p, x in enumerate(xs):
+            assert x.shape[-1] == self.input_channels[p], (
+                f"pathway {p}: got {x.shape[-1]} channels, "
+                f"expected {self.input_channels[p]}"
+            )
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
         slow_dim, fast_dim = self.stem_dim_outs
         reduction = slow_dim // fast_dim  # 8

@@ -119,12 +119,6 @@ def _grad_xy(im: jnp.ndarray):
     return ix, iy
 
 
-def _neighbor_sum(x: jnp.ndarray) -> jnp.ndarray:
-    """Sum of 4-neighbors with zero (Neumann-style) borders, (B,H,W)."""
-    p = jnp.pad(x, ((0, 0), (1, 1), (1, 1)))
-    return p[:, :-2, 1:-1] + p[:, 2:, 1:-1] + p[:, 1:-1, :-2] + p[:, 1:-1, 2:]
-
-
 def _edge_weights(x: jnp.ndarray):
     """(w_up, w_down, w_left, w_right) half-point smoothness weights from phi'."""
     pad = jnp.pad(x, ((0, 0), (1, 1), (1, 1)), mode="edge")
