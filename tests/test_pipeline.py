@@ -135,6 +135,15 @@ def test_energy_filter_stage(piped_cfg):
     assert len(kept) == 4  # min_keep dominates 30% of 10
 
 
+def test_cse_stage(piped_cfg):
+    from video_classification_tpu.pipeline import padded_to_cse
+
+    padded_to_cse(piped_cfg, SyntheticIUVProvider(), sets=("train",))
+    root = Path(piped_cfg.CHALEARN.ROOT)
+    pkls = sorted((root / "4_CSE" / "train").glob("*.pkl"))
+    assert [p.name for p in pkls] == ["001.pkl", "002.pkl"]
+
+
 def test_iuv_skip_if_exists(piped_cfg):
     root = Path(piped_cfg.CHALEARN.ROOT)
     pkl = root / "4_IUV" / "train" / "001.pkl"

@@ -69,7 +69,7 @@ def main(argv=None):
 
     p = sub.add_parser("preprocess", help="run the offline preprocessing chain")
     p.add_argument("--stages", nargs="*", default=None,
-                   help="subset: sample images flow energy pad iuv crop")
+                   help="subset: sample images flow energy pad iuv cse crop")
     p.add_argument("--sets", nargs="*", default=["train", "test", "valid"])
     p.add_argument("--provider", choices=["densepose", "synthetic"],
                    default="densepose")
@@ -184,6 +184,8 @@ def _run_preprocess(args):
         stages.image_to_padded(cfg)
     if "iuv" in todo:
         stages.padded_to_iuv(cfg, _provider(args.provider), sets=sets)
+    if "cse" in todo:
+        stages.padded_to_cse(cfg, _provider(args.provider), sets=sets)
     if "crop" in todo:
         stages.iuv_to_crop(cfg, sets=sets)
 
