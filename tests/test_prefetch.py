@@ -39,3 +39,24 @@ def test_prefetch_propagates_errors(devices):
     next(it)
     with pytest.raises(ValueError, match="boom"):
         list(it)
+
+
+def test_multi_axis_mesh_batch_sharding(devices):
+    """2-axis mesh (e.g. DCN slice x ICI data): batch shards over both axes."""
+    from video_classification_tpu.config import get_cfg
+    from video_classification_tpu.parallel import pad_batch_for_mesh, shard_batch
+
+    cfg = get_cfg()
+    cfg.TPU.MESH_SHAPE = [2, -1]
+    cfg.TPU.MESH_AXES = ["slice", "data"]
+    mesh = make_mesh(cfg, devices=devices)
+    assert mesh.shape["slice"] == 2 and mesh.shape["data"] == 4
+
+    batch = {"x": np.arange(16, dtype=np.float32).reshape(16, 1)}
+    sharded = shard_batch(mesh, batch)
+    assert len(sharded["x"].sharding.device_set) == 8
+    np.testing.assert_array_equal(np.asarray(sharded["x"])[:, 0], np.arange(16))
+
+    ragged = {"x": np.zeros((5, 1), np.float32)}
+    padded, n = pad_batch_for_mesh(ragged, mesh)
+    assert n == 5 and padded["x"].shape[0] == 8

@@ -39,8 +39,15 @@ def make_mesh(cfg=None, devices=None) -> Mesh:
     return Mesh(dev_array, tuple(axes))
 
 
-def data_sharding(mesh: Mesh, ndim: int, batch_axis: str = "data") -> NamedSharding:
-    """Shard dim 0 (batch) over the data axis, replicate the rest."""
+def data_sharding(mesh: Mesh, ndim: int, batch_axis=None) -> NamedSharding:
+    """Shard dim 0 (batch) over the mesh, replicate the rest.
+
+    With a multi-axis mesh (e.g. ('slice', 'data') for a DCN x ICI hierarchy)
+    the batch shards jointly over every axis unless ``batch_axis`` names a
+    specific axis (or tuple of axes).
+    """
+    if batch_axis is None:
+        batch_axis = tuple(mesh.axis_names)
     spec = P(batch_axis, *([None] * (ndim - 1)))
     return NamedSharding(mesh, spec)
 
@@ -49,7 +56,7 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(mesh: Mesh, batch: Any, batch_axis: str = "data") -> Any:
+def shard_batch(mesh: Mesh, batch: Any, batch_axis=None) -> Any:
     """Device-put a pytree of host arrays with batch-dim sharding."""
     def put(x):
         x = np.asarray(x)
@@ -68,14 +75,17 @@ def pad_to_multiple(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
 
 
-def pad_batch_for_mesh(batch: dict, mesh: Mesh, batch_axis: str = "data"):
+def pad_batch_for_mesh(batch: dict, mesh: Mesh, batch_axis=None):
     """Pad a host batch so its leading dim divides the data-axis size.
 
     Returns (padded batch, real count). Padding repeats row 0; callers mask by the
     real count (eval) or avoid ragged batches entirely (train drops the last batch,
     matching the reference's drop_last=True loader, train.py:164).
     """
-    size = mesh.shape[batch_axis]
+    if batch_axis is None:
+        size = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+    else:
+        size = mesh.shape[batch_axis]
     leaves = jax.tree.leaves(batch)
     n = leaves[0].shape[0]
     target = pad_to_multiple(n, size)
