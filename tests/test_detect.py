@@ -131,20 +131,27 @@ def test_apply_deltas_identity():
 def test_generate_anchors():
     a = np.asarray(generate_anchors((2, 3), 8, 32.0))
     assert a.shape == (2 * 3 * 3, 4)
-    # ratio 1 anchor at cell (0,0): centered at (4, 4), 32x32.
+    # detectron2 offset-0 convention: cell (0,0)'s ratio-1 anchor is centered
+    # on the cell corner (0, 0), 32x32.
     centered = a[1]  # ratios (0.5, 1, 2) -> index 1 is ratio 1.0
-    np.testing.assert_allclose(centered, [4 - 16, 4 - 16, 4 + 16, 4 + 16], atol=1e-4)
+    np.testing.assert_allclose(centered, [-16, -16, 16, 16], atol=1e-4)
+    # detectron2 ratio convention: ratio = h/w, w = scale/sqrt(r).
+    tall = a[2]  # ratio 2.0
+    w = tall[2] - tall[0]
+    h = tall[3] - tall[1]
+    np.testing.assert_allclose(h / w, 2.0, atol=1e-4)
 
 
 @pytest.mark.slow
 def test_densepose_rcnn_contract():
-    model = DensePoseRCNN(depth=50, pre_nms_topk=64, post_nms_topk=8, max_detections=4)
+    model = DensePoseRCNN(depth=50, pre_nms_topk=64, post_nms_topk=8,
+                          max_detections=4, chart_pooler_size=14)
     img = jnp.asarray(np.random.RandomState(0).randn(64, 64, 3).astype(np.float32))
     variables = model.init(jax.random.PRNGKey(0), img, train=False)
     out = jax.jit(lambda v, x: model.apply(v, x, train=False))(variables, img)
     assert out["boxes"].shape == (4, 4)
     assert out["scores"].shape == (4,)
-    assert out["charts"].shape == (4, 28, 28)
-    assert out["u"].shape == (4, 28, 28)
+    assert out["charts"].shape == (4, 56, 56)  # pooler 14 -> heatmap 4x14
+    assert out["u"].shape == (4, 56, 56)
     assert int(out["charts"].max()) <= 24
     assert float(out["u"].min()) >= 0.0 and float(out["u"].max()) <= 1.0

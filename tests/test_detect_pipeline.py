@@ -37,7 +37,10 @@ def test_densepose_provider_in_pipeline(tmp_path):
     video_to_flow(cfg, FlowParams(n_outer=1, n_sor=4, min_width=16))
     image_to_padded(cfg)
 
-    provider = DensePoseIUVProvider(depth=50)
+    # Tiny budgets + no ResizeShortestEdge: contract test, not accuracy.
+    provider = DensePoseIUVProvider(depth=50, pre_nms_topk=64, post_nms_topk=8,
+                                    max_detections=4, chart_pooler_size=14,
+                                    min_size=0)
     padded_to_iuv(cfg, provider, sets=("train",))
 
     pkl = Path(tmp_path) / "4_IUV" / "train" / "001.pkl"

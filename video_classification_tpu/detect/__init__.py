@@ -1,5 +1,22 @@
 from .ops import roi_align, nms, box_iou, apply_deltas, clip_boxes
-from .densepose import DensePoseRCNN, ResNetFPN, RPNHead, BoxHead, DensePoseHead
+from .densepose import (
+    ASPP,
+    BoxHead,
+    ChartPredictor,
+    Decoder,
+    DensePoseDeepLabHead,
+    DensePoseRCNN,
+    ResNetFPN,
+    RPNHead,
+)
+from .d2_convert import (
+    coverage_report,
+    d2_key_shapes,
+    d2_to_flax,
+    load_d2_pkl,
+    load_densepose_variables,
+    synthesize_state_dict,
+)
 from .provider import DensePoseIUVProvider
 
 __all__ = [
@@ -8,10 +25,19 @@ __all__ = [
     "box_iou",
     "apply_deltas",
     "clip_boxes",
+    "ASPP",
+    "BoxHead",
+    "ChartPredictor",
+    "Decoder",
+    "DensePoseDeepLabHead",
     "DensePoseRCNN",
     "ResNetFPN",
     "RPNHead",
-    "BoxHead",
-    "DensePoseHead",
     "DensePoseIUVProvider",
+    "coverage_report",
+    "d2_key_shapes",
+    "d2_to_flax",
+    "load_d2_pkl",
+    "load_densepose_variables",
+    "synthesize_state_dict",
 ]

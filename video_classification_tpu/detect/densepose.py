@@ -1,23 +1,31 @@
-"""DensePose-equivalent detector: ResNet-50 FPN + RPN + box head + chart head.
+"""DensePose R-CNN (``densepose_rcnn_R_101_FPN_DL_s1x``) as one XLA program.
 
-A TPU-native (flax/XLA) counterpart of the detectron2 DensePose R-CNN the reference
-shells out to (`chalearn_padded_to_iuv.py:25-26,42-45`, config
-``densepose_rcnn_R_101_FPN_DL_s1x``). The architecture follows the Mask R-CNN
-pattern the reference model uses; depth and head widths are configurable (default
-R50 for single-chip inference economy; the reference's R101 is
-``depth=101``). Everything — anchors, proposal decode, NMS, ROIAlign, heads —
-compiles into one XLA program with static shapes (fixed proposal / detection
-counts), no host round-trips.
+A TPU-native (flax/XLA) counterpart of the detectron2 DensePose R-CNN the
+reference shells out to (`chalearn_padded_to_iuv.py:25-26,42-45`). The
+architecture mirrors the released model family so its checkpoint
+(``model_final_844d15.pkl``) converts weight-for-weight (detect/d2_convert.py):
 
-Inference contract (what `chalearn_iuv_to_crop.py` consumes): per image, candidate
-person boxes + scores, and for the best box a 25-way body-part chart map ``I`` and
-per-pixel ``UV`` in [0, 1] at box resolution — produced here by the chart head at
-``heatmap_size`` and resized by the provider.
+  * ResNet-101 (stride-in-1x1 bottlenecks, frozen-BN semantics at inference)
+    + FPN P2..P5 with a parameter-free P6 max-pool level for the RPN.
+  * RPN: shared 3x3 head over 5 levels, anchors 32..512 at ratios (0.5, 1, 2)
+    anchored at cell corners (detectron2 offset 0.0), per-level pre-NMS top-k,
+    per-level NMS 0.7 (realized as one fixed-trip NMS on level-offset boxes),
+    post-NMS top-k overall — the detectron2 test budget (1000/1000) by default.
+  * Box head: 7x7 ROIAlign over P2..P5 (FPN level assignment), 2 FC -> person
+    score (class 0; background last, detectron2 convention) + class-specific
+    box deltas decoded with weights (10, 10, 5, 5); NMS 0.5, score 0.05,
+    up to 100 detections.
+  * DensePose branch: Panoptic-FPN style Decoder (sum of per-level scale heads
+    at stride 4) -> 28x28 ROIAlign on the decoded map -> DeepLab chart head
+    (ASPP rates 6/12/56 + 8 GN convs, 512 wide) -> chart predictor (4x4/2
+    deconvs to 56 + 2x bilinear to the 112 heatmap) -> per-pixel part labels
+    I = argmax(fine) * (argmax(coarse) > 0) and chart-gathered U/V.
 
-Weights: the released detectron2 checkpoint (`model_final_844d15.pkl`) can be
-converted with models/torch_convert-style mapping once available; in this
-zero-egress environment the network runs from-scratch (the pipeline contract and
-all ops are exercised; accuracy parity requires the converted weights).
+Everything — anchors, decode, NMS, ROIAlign, heads — compiles into one XLA
+program with static shapes (fixed proposal/detection counts), no host
+round-trips. Weight conversion from the released pkl lives in d2_convert.py;
+in this zero-egress environment the graph runs from random init (architecture
+and contract exercised; accuracy parity needs the converted weights).
 """
 
 from __future__ import annotations
@@ -35,12 +43,27 @@ from .ops import apply_deltas, clip_boxes, nms, roi_align
 NUM_CHARTS = 24  # DensePose body charts 1..24; 0 = background
 RESNET_DEPTHS = {50: (3, 4, 6, 3), 101: (3, 4, 23, 3)}
 
+# detectron2 Box2BoxTransform weights (Base-RCNN-FPN defaults).
+RPN_DELTA_WEIGHTS = (1.0, 1.0, 1.0, 1.0)
+BOX_DELTA_WEIGHTS = (10.0, 10.0, 5.0, 5.0)
+
+
+def _upsample2x(x: jnp.ndarray) -> jnp.ndarray:
+    """2x bilinear upsample, align_corners=False (torch F.interpolate parity)."""
+    n, h, w, c = x.shape
+    return jax.image.resize(x, (n, 2 * h, 2 * w, c), "linear")
+
 
 class ResNetFPN(nn.Module):
-    """ResNet bottleneck backbone with a 4-level FPN (P2..P5, strides 4..32)."""
+    """ResNet bottleneck backbone + FPN (P2..P5 strides 4..32, P6 max-pool 64).
 
-    depth: int = 50
+    detectron2 ``build_resnet_fpn_backbone``: caffe2-style stride-in-1x1
+    bottlenecks, nearest top-down upsampling, LastLevelMaxPool P6.
+    """
+
+    depth: int = 101
     fpn_channels: int = 256
+    stride_in_1x1: bool = True
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
 
@@ -61,14 +84,16 @@ class ResNetFPN(nn.Module):
                 stride = 2 if (stage > 0 and j == 0) else 1
                 x = Bottleneck2d(dim_inner, dim_out, stride=stride,
                                  use_downsample=(j == 0),
+                                 stride_in_1x1=self.stride_in_1x1,
                                  name=f"res{stage + 2}_{j}", **kw)(x, train)
             cs.append(x)
             dim_inner *= 2
             dim_out *= 2
 
-        # FPN top-down with lateral 1x1s and output 3x3s.
+        # FPN top-down with lateral 1x1s and output 3x3s (biased, detectron2).
         laterals = [
-            _conv2d(self.fpn_channels, (1, 1), name=f"fpn_lateral{i + 2}", **kw)(c)
+            _conv2d(self.fpn_channels, (1, 1), name=f"fpn_lateral{i + 2}",
+                    use_bias=True, **kw)(c)
             for i, c in enumerate(cs)
         ]
         ps = [laterals[-1]]
@@ -76,10 +101,12 @@ class ResNetFPN(nn.Module):
             up = jax.image.resize(ps[0], lat.shape, "nearest")
             ps.insert(0, lat + up)
         ps = [
-            _conv2d(self.fpn_channels, (3, 3), name=f"fpn_output{i + 2}", **kw)(p)
+            _conv2d(self.fpn_channels, (3, 3), name=f"fpn_output{i + 2}",
+                    use_bias=True, **kw)(p)
             for i, p in enumerate(ps)
         ]
-        return ps  # [P2, P3, P4, P5], strides [4, 8, 16, 32]
+        p6 = nn.max_pool(ps[-1], (1, 1), strides=(2, 2))  # LastLevelMaxPool
+        return ps + [p6]  # [P2..P6], strides [4, 8, 16, 32, 64]
 
 
 class RPNHead(nn.Module):
@@ -92,9 +119,11 @@ class RPNHead(nn.Module):
     @nn.compact
     def __call__(self, feats: Sequence[jnp.ndarray]):
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
-        conv = _conv2d(feats[0].shape[-1], (3, 3), name="conv", **kw)
-        obj_conv = _conv2d(self.num_anchors, (1, 1), name="objectness", **kw)
-        delta_conv = _conv2d(self.num_anchors * 4, (1, 1), name="deltas", **kw)
+        conv = _conv2d(feats[0].shape[-1], (3, 3), name="conv", use_bias=True, **kw)
+        obj_conv = _conv2d(self.num_anchors, (1, 1), name="objectness",
+                           use_bias=True, **kw)
+        delta_conv = _conv2d(self.num_anchors * 4, (1, 1), name="deltas",
+                             use_bias=True, **kw)
         out = []
         for f in feats:
             t = nn.relu(conv(f)).astype(self.dtype)
@@ -103,7 +132,11 @@ class RPNHead(nn.Module):
 
 
 class BoxHead(nn.Module):
-    """ROI features -> 2 FC -> (person score, box deltas)."""
+    """ROI features -> 2 FC -> (class scores, box deltas).
+
+    detectron2 FastRCNNOutputLayers: ``cls`` emits num_classes+1 logits with
+    background LAST (person = column 0), ``box`` is class-specific 4-vector.
+    """
 
     hidden: int = 1024
     dtype: Any = jnp.float32
@@ -115,52 +148,177 @@ class BoxHead(nn.Module):
         x = rois.reshape(rois.shape[0], -1)
         x = nn.relu(nn.Dense(self.hidden, name="fc1", **kw)(x)).astype(self.dtype)
         x = nn.relu(nn.Dense(self.hidden, name="fc2", **kw)(x)).astype(self.dtype)
-        scores = nn.Dense(2, name="cls", **kw)(x)       # (bg, person)
+        scores = nn.Dense(2, name="cls", **kw)(x)       # (person, bg)
         deltas = nn.Dense(4, name="box", **kw)(x)
         return scores, deltas
 
 
-class DensePoseHead(nn.Module):
-    """ROI features -> conv tower -> chart logits (25) + per-chart U, V maps.
+class Decoder(nn.Module):
+    """DensePose Decoder: Panoptic-FPN semantic head over P2..P5.
 
-    Follows the DensePose chart predictor: an 8-conv 512-wide fully-convolutional
-    tower on 14x14 ROI features, 2x deconv to ``heatmap_size``; outputs
-    fine-segmentation logits (background + 24 charts) and per-chart U/V fields.
+    Per level, log2(stride/4) repetitions of [3x3 conv 256 + ReLU (+ 2x bilinear
+    upsample when the level is above stride 4)] (at least one conv for P2); the
+    per-level outputs are summed and passed through a 1x1 predictor to 256
+    channels at stride 4 (densepose roi_head Decoder; DECODER_NUM_CLASSES=256).
     """
 
-    conv_channels: int = 512
-    num_convs: int = 8
-    heatmap_size: int = 28
+    conv_dims: int = 256
+    num_classes: int = 256
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, rois):  # (N, 14, 14, C)
+    def __call__(self, feats: Sequence[jnp.ndarray]):  # [P2..P5]
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
-        x = rois
+        total = None
+        for lvl, f in enumerate(feats):
+            x = f
+            for k in range(max(1, lvl)):
+                x = _conv2d(self.conv_dims, (3, 3), name=f"p{lvl + 2}_conv{k}",
+                            use_bias=True, **kw)(x)
+                x = nn.relu(x).astype(self.dtype)
+                if lvl > 0:
+                    x = _upsample2x(x)
+            total = x if total is None else total + x
+        return _conv2d(self.num_classes, (1, 1), name="predictor",
+                       use_bias=True, **kw)(total)
+
+
+class ASPP(nn.Module):
+    """Atrous spatial pyramid pooling (DensePose deeplab.py ASPP).
+
+    Five parallel branches on the input: 1x1 conv, three 3x3 convs at the given
+    dilation rates, and image-level pooling — each conv bias-free + GroupNorm(32)
+    + ReLU — concatenated and projected back with a bias-free 1x1 + ReLU.
+    """
+
+    out_channels: int = 256
+    rates: Tuple[int, int, int] = (6, 12, 56)
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):  # (N, H, W, C)
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+
+        def gn(name):
+            return nn.GroupNorm(num_groups=32, epsilon=1e-5,
+                                dtype=self.dtype, param_dtype=self.param_dtype,
+                                name=name)
+
+        branches = []
+        b = _conv2d(self.out_channels, (1, 1), name="aspp_conv1", **kw)(x)
+        branches.append(nn.relu(gn("aspp_gn1")(b)).astype(self.dtype))
+        for i, r in enumerate(self.rates):
+            b = nn.Conv(self.out_channels, (3, 3), padding=((r, r), (r, r)),
+                        kernel_dilation=(r, r), use_bias=False,
+                        name=f"aspp_conv{i + 2}", **kw)(x)
+            branches.append(nn.relu(gn(f"aspp_gn{i + 2}")(b)).astype(self.dtype))
+        # Image pooling branch: global average -> 1x1 -> GN -> ReLU -> broadcast.
+        pooled = jnp.mean(x, axis=(1, 2), keepdims=True)
+        b = _conv2d(self.out_channels, (1, 1), name="aspp_pool_conv", **kw)(pooled)
+        b = nn.relu(gn("aspp_pool_gn")(b)).astype(self.dtype)
+        branches.append(jnp.broadcast_to(b, branches[0].shape))
+        y = jnp.concatenate(branches, axis=-1)
+        y = _conv2d(self.out_channels, (1, 1), name="aspp_project", **kw)(y)
+        return nn.relu(y).astype(self.dtype)
+
+
+class DensePoseDeepLabHead(nn.Module):
+    """DeepLab chart head: ASPP + 8 stacked 3x3 GN convs, 512 wide.
+
+    DensePose ``DensePoseDeepLabHead`` (deeplab.py): ASPP keeps the input width
+    (256 from the Decoder), each stacked conv is bias-free with GroupNorm(32)
+    and external ReLU (NONLOCAL off, as in the released DL_s1x config).
+    """
+
+    hidden: int = 512
+    num_convs: int = 8
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, rois):  # (N, S, S, C)
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        x = ASPP(out_channels=rois.shape[-1], name="ASPP", **kw)(rois)
         for i in range(self.num_convs):
-            x = _conv2d(self.conv_channels, (3, 3), name=f"conv{i + 1}", **kw)(x)
+            x = nn.Conv(self.hidden, (3, 3), padding=((1, 1), (1, 1)),
+                        use_bias=False, name=f"conv{i + 1}", **kw)(x)
+            x = nn.GroupNorm(num_groups=32, epsilon=1e-5, dtype=self.dtype,
+                             param_dtype=self.param_dtype, name=f"gn{i + 1}")(x)
             x = nn.relu(x).astype(self.dtype)
-        x = nn.ConvTranspose(self.conv_channels, (4, 4), strides=(2, 2),
-                             padding="SAME", name="deconv",
-                             dtype=self.dtype, param_dtype=self.param_dtype)(x)
-        x = nn.relu(x).astype(self.dtype)
-        x = jax.image.resize(
-            x, (x.shape[0], self.heatmap_size, self.heatmap_size, x.shape[-1]),
-            "bilinear",
-        ).astype(self.dtype)
-        seg = _conv2d(NUM_CHARTS + 1, (1, 1), name="seg", **kw)(x)
-        u = _conv2d(NUM_CHARTS + 1, (1, 1), name="u", **kw)(x)
-        v = _conv2d(NUM_CHARTS + 1, (1, 1), name="v", **kw)(x)
-        return seg, u, v
+        return x
+
+
+class TorchConvTranspose(nn.Module):
+    """torch ConvTranspose2d(k=4, s=2, p=1) — exact 2x learned upsampling.
+
+    Expressed as an input-dilated conv: zeros between pixels (lhs_dilation=s),
+    pad k-1-p, then cross-correlate. The converter pre-flips the torch kernel
+    spatially so this module's HWIO cross-correlation matches torch's adjoint
+    convolution bit-for-bit (verified vs torch in tests/test_d2_convert.py).
+    """
+
+    features: int
+    kernel: int = 4
+    stride: int = 2
+    pad: int = 1
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):  # (N, H, W, C) -> (N, s*H, s*W, features)
+        k, s, p = self.kernel, self.stride, self.pad
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (k, k, x.shape[-1], self.features),
+            self.param_dtype,
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,),
+                          self.param_dtype)
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype), kernel.astype(self.dtype),
+            window_strides=(1, 1),
+            padding=((k - 1 - p, k - 1 - p), (k - 1 - p, k - 1 - p)),
+            lhs_dilation=(s, s),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        return y + bias.astype(self.dtype)
+
+
+class ChartPredictor(nn.Module):
+    """DensePoseChartPredictor: 4 deconvs + 2x bilinear to the heatmap size.
+
+    Emits coarse fg/bg segmentation (2ch), fine chart logits (25ch) and the
+    per-chart U/V fields, each ConvTranspose2d(4, 2, 1)-upsampled from the head
+    resolution S to 2S, then interp2d to 4S (HEATMAP_SIZE=112 for S=28).
+    """
+
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):  # (N, S, S, 512)
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        coarse = TorchConvTranspose(2, name="ann_index_lowres", **kw)(x)
+        fine = TorchConvTranspose(NUM_CHARTS + 1, name="index_uv_lowres", **kw)(x)
+        u = TorchConvTranspose(NUM_CHARTS + 1, name="u_lowres", **kw)(x)
+        v = TorchConvTranspose(NUM_CHARTS + 1, name="v_lowres", **kw)(x)
+        return tuple(_upsample2x(t) for t in (coarse, fine, u, v))
 
 
 def generate_anchors(hw: Tuple[int, int], stride: int, scale: float,
                      ratios=(0.5, 1.0, 2.0)) -> jnp.ndarray:
-    """(H*W*A, 4) xyxy anchors for one level, centered on stride cells."""
+    """(H*W*A, 4) xyxy anchors for one level.
+
+    detectron2 DefaultAnchorGenerator: cell anchors [-w/2, -h/2, w/2, h/2] with
+    w = scale/sqrt(r), h = scale*sqrt(r), shifted by x*stride (offset 0.0 — the
+    anchor centers sit on cell corners, not cell centers).
+    """
     h, w = hw
-    cy = (jnp.arange(h, dtype=jnp.float32) + 0.5) * stride
-    cx = (jnp.arange(w, dtype=jnp.float32) + 0.5) * stride
+    cy = jnp.arange(h, dtype=jnp.float32) * stride
+    cx = jnp.arange(w, dtype=jnp.float32) * stride
     anchors = []
     for r in ratios:
         aw = scale * (r ** -0.5)
@@ -177,69 +335,95 @@ def generate_anchors(hw: Tuple[int, int], stride: int, scale: float,
 
 
 class DensePoseRCNN(nn.Module):
-    """End-to-end inference graph. Static proposal/detection counts."""
+    """End-to-end inference graph. Static proposal/detection counts.
 
-    depth: int = 50
-    pre_nms_topk: int = 256
-    post_nms_topk: int = 32
-    max_detections: int = 8
-    heatmap_size: int = 28
+    Defaults are the detectron2 test-time budget of the reference model
+    (PRE_NMS_TOPK_TEST=1000/level, POST_NMS_TOPK_TEST=1000,
+    DETECTIONS_PER_IMAGE=100, chart pooler 28 -> heatmap 112); shrink them for
+    cheap single-person contracts like the ChaLearn stage.
+    """
+
+    depth: int = 101
+    pre_nms_topk: int = 1000
+    post_nms_topk: int = 1000
+    max_detections: int = 100
+    chart_pooler_size: int = 28
     score_threshold: float = 0.05
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
+
+    @property
+    def heatmap_size(self) -> int:
+        return self.chart_pooler_size * 4  # deconv 2x + interp 2x
 
     def setup(self):
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
         self.backbone = ResNetFPN(depth=self.depth, name="backbone", **kw)
         self.rpn = RPNHead(name="rpn", **kw)
         self.box_head = BoxHead(name="box_head", **kw)
-        self.densepose_head = DensePoseHead(
-            heatmap_size=self.heatmap_size, name="densepose_head", **kw
-        )
+        self.decoder = Decoder(name="decoder", **kw)
+        self.densepose_head = DensePoseDeepLabHead(name="densepose_head", **kw)
+        self.chart_predictor = ChartPredictor(name="densepose_predictor", **kw)
 
     def __call__(self, image, train: bool = False):
-        """image: (H, W, 3) float32 (normalized). Returns dict of detections."""
+        """image: (H, W, 3) float32 (BGR, mean-subtracted). Returns detections."""
         h, w = image.shape[:2]
-        feats = self.backbone(image[None], train)
-        strides = [4, 8, 16, 32]
-        scales = [32.0, 64.0, 128.0, 256.0]
+        feats = self.backbone(image[None], train)  # [P2..P6]
+        strides = [4, 8, 16, 32, 64]
+        scales = [32.0, 64.0, 128.0, 256.0, 512.0]
 
-        # -- RPN: score anchors, decode, top-k per level, NMS across levels.
+        # -- RPN: score anchors, decode, top-k per level, per-level NMS.
         rpn_out = self.rpn(feats)
-        all_boxes, all_scores = [], []
-        for (obj, deltas), f, stride, scale in zip(rpn_out, feats, strides, scales):
+        all_boxes, all_scores, all_levels = [], [], []
+        for lvl, ((obj, deltas), f, stride, scale) in enumerate(
+                zip(rpn_out, feats, strides, scales)):
             fh, fw = f.shape[1:3]
             anchors = generate_anchors((fh, fw), stride, scale)
-            obj = obj[0].reshape(-1)
-            deltas = deltas[0].reshape(-1, 4)
+            obj = obj[0].reshape(-1).astype(jnp.float32)
+            deltas = deltas[0].reshape(-1, 4).astype(jnp.float32)
             k = min(self.pre_nms_topk, obj.shape[0])
             top_scores, top_idx = jax.lax.top_k(obj, k)
-            boxes = apply_deltas(anchors[top_idx], deltas[top_idx])
+            boxes = apply_deltas(anchors[top_idx], deltas[top_idx],
+                                 weights=RPN_DELTA_WEIGHTS)
             all_boxes.append(clip_boxes(boxes, (h, w)))
             all_scores.append(top_scores)
+            all_levels.append(jnp.full((k,), lvl, jnp.float32))
         boxes = jnp.concatenate(all_boxes)
         scores = jnp.concatenate(all_scores)
-        keep_idx, keep_mask = nms(boxes, scores, self.post_nms_topk, 0.7)
+        levels = jnp.concatenate(all_levels)
+        # Per-level NMS (detectron2 batched_nms): offset each level's boxes to a
+        # disjoint coordinate range so one fixed-trip NMS never crosses levels.
+        offset = levels[:, None] * (float(max(h, w)) + 2.0)
+        keep_idx, keep_mask = nms(boxes + offset, scores, self.post_nms_topk, 0.7)
         proposals = boxes[keep_idx]
         proposal_mask = keep_mask
 
-        # -- Box head on multi-level ROIAlign (level by box size, computed as a
-        # soft selection over all levels to stay gather-only).
-        rois7 = self._multilevel_roi(feats, proposals, 7)
+        # -- Box head on multi-level ROIAlign over P2..P5.
+        rois7 = self._multilevel_roi(feats[:4], proposals, 7)
         cls_scores, box_deltas = self.box_head(rois7)
-        person_prob = jax.nn.softmax(cls_scores.astype(jnp.float32), -1)[:, 1]
+        # detectron2 convention: background logit is LAST; person = column 0.
+        person_prob = jax.nn.softmax(cls_scores.astype(jnp.float32), -1)[:, 0]
         person_prob = jnp.where(proposal_mask, person_prob, 0.0)
-        det_boxes = clip_boxes(apply_deltas(proposals, box_deltas), (h, w))
+        det_boxes = clip_boxes(
+            apply_deltas(proposals, box_deltas.astype(jnp.float32),
+                         weights=BOX_DELTA_WEIGHTS), (h, w))
+        person_prob = jnp.where(person_prob > self.score_threshold,
+                                person_prob, 0.0)
         det_idx, det_mask = nms(det_boxes, person_prob, self.max_detections, 0.5)
         final_boxes = det_boxes[det_idx]
         final_scores = person_prob[det_idx]
         det_mask = det_mask & (final_scores > self.score_threshold)
 
-        # -- DensePose head on the final boxes.
-        rois14 = self._multilevel_roi(feats, final_boxes, 14)
-        seg, u, v = self.densepose_head(rois14)
-        seg = seg.astype(jnp.float32)
-        charts = jnp.argmax(seg, axis=-1).astype(jnp.int32)  # (N, hm, hm)
+        # -- DensePose branch: decoder map (stride 4) -> chart head on the boxes.
+        decoded = self.decoder(feats[:4])
+        rois28 = roi_align(decoded[0], final_boxes, self.chart_pooler_size, 0.25)
+        head_out = self.densepose_head(rois28)
+        coarse, fine, u, v = self.chart_predictor(head_out)
+        coarse = coarse.astype(jnp.float32)
+        fine = fine.astype(jnp.float32)
+        # ToChartResultConverter: fine label where coarse says foreground.
+        fg = (jnp.argmax(coarse, axis=-1) > 0)
+        charts = jnp.where(fg, jnp.argmax(fine, axis=-1), 0).astype(jnp.int32)
         hm = self.heatmap_size
         flat_c = charts.reshape(charts.shape[0], -1)
         u_sel = jnp.take_along_axis(

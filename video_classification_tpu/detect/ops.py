@@ -139,13 +139,21 @@ def clip_boxes(boxes: jnp.ndarray, hw: Tuple[int, int]) -> jnp.ndarray:
 
 
 def apply_deltas(anchors: jnp.ndarray, deltas: jnp.ndarray,
-                 clip: float = 4.135) -> jnp.ndarray:
-    """Standard R-CNN box decoding: (dx, dy, dw, dh) deltas on xyxy anchors."""
+                 clip: float = 4.135,
+                 weights=(1.0, 1.0, 1.0, 1.0)) -> jnp.ndarray:
+    """R-CNN box decoding: (dx, dy, dw, dh) deltas on xyxy anchors.
+
+    ``weights`` are detectron2 Box2BoxTransform normalizers — (1,1,1,1) for the
+    RPN, (10,10,5,5) for the ROI box head; ``clip`` is its scale_clamp
+    log(1000/16).
+    """
     ax = (anchors[:, 0] + anchors[:, 2]) * 0.5
     ay = (anchors[:, 1] + anchors[:, 3]) * 0.5
     aw = anchors[:, 2] - anchors[:, 0]
     ah = anchors[:, 3] - anchors[:, 1]
-    dx, dy, dw, dh = deltas[:, 0], deltas[:, 1], deltas[:, 2], deltas[:, 3]
+    wx, wy, ww, wh = weights
+    dx, dy, dw, dh = (deltas[:, 0] / wx, deltas[:, 1] / wy,
+                      deltas[:, 2] / ww, deltas[:, 3] / wh)
     cx = ax + dx * aw
     cy = ay + dy * ah
     w = aw * jnp.exp(jnp.clip(dw, -clip, clip))

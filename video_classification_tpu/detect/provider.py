@@ -3,12 +3,19 @@
 Bridges ``DensePoseRCNN`` inference output to the pipeline's IUV contract
 (pipeline/iuv_contract.py): picks the best detection per frame, resizes the chart
 map (nearest) and U/V fields (bilinear) from heatmap resolution to the box's pixel
-size — the role DensePose's post-processor plays in the reference stack.
+size — the role DensePose's post-processor plays in the reference stack
+(`/root/reference/chalearn_iuv_to_crop.py:105-106,207-213` consumes exactly
+boxes + scores + per-box I labels + UV).
+
+Input handling matches detectron2's DefaultPredictor for the released caffe2
+R-101 model: BGR input, mean subtraction with PIXEL_STD=(1,1,1), and
+ResizeShortestEdge(min=800, max=1333) with detections scaled back to the
+original frame. Pass ``min_size=0`` to skip the resize (tiny tests).
 """
 
 from __future__ import annotations
 
-from typing import List, Sequence
+from typing import List, Optional, Sequence
 
 import cv2
 import jax
@@ -18,15 +25,40 @@ import numpy as np
 from ..pipeline.iuv_contract import IUVDetection
 from .densepose import DensePoseRCNN
 
-# detectron2 image normalization (ImageNet BGR means/stds).
+# detectron2 Base-RCNN-FPN pixel stats for caffe2-converted (MSRA) backbones:
+# BGR means, unit std (cfg.MODEL.PIXEL_STD defaults to [1,1,1]).
 PIXEL_MEAN = np.array([103.53, 116.28, 123.675], np.float32)
-PIXEL_STD = np.array([57.375, 57.12, 58.395], np.float32)
+PIXEL_STD = np.array([1.0, 1.0, 1.0], np.float32)
 
 
 class DensePoseIUVProvider:
-    def __init__(self, variables=None, depth: int = 50, rng_seed: int = 0):
-        self.model = DensePoseRCNN(depth=depth)
+    def __init__(
+        self,
+        variables=None,
+        depth: int = 101,
+        rng_seed: int = 0,
+        pre_nms_topk: int = 1000,
+        post_nms_topk: int = 1000,
+        max_detections: int = 100,
+        chart_pooler_size: int = 28,
+        min_size: int = 800,
+        max_size: int = 1333,
+        weights_pkl: Optional[str] = None,
+    ):
+        self.model = DensePoseRCNN(
+            depth=depth,
+            pre_nms_topk=pre_nms_topk,
+            post_nms_topk=post_nms_topk,
+            max_detections=max_detections,
+            chart_pooler_size=chart_pooler_size,
+        )
+        if weights_pkl is not None and variables is None:
+            from .d2_convert import load_densepose_variables
+
+            variables = load_densepose_variables(weights_pkl, depth=depth)
         self.variables = variables
+        self.min_size = min_size
+        self.max_size = max_size
         self._rng_seed = rng_seed
         self._apply = jax.jit(
             lambda variables, img: self.model.apply(variables, img, train=False)
@@ -39,14 +71,29 @@ class DensePoseIUVProvider:
                 jax.random.PRNGKey(self._rng_seed), x, train=False
             )
 
+    def _resize_input(self, img: np.ndarray):
+        """ResizeShortestEdge(min_size, max_size); returns (resized, scale)."""
+        if not self.min_size:
+            return img, 1.0
+        h, w = img.shape[:2]
+        scale = self.min_size / min(h, w)
+        if max(h, w) * scale > self.max_size:
+            scale = self.max_size / max(h, w)
+        nh, nw = int(round(h * scale)), int(round(w * scale))
+        if (nh, nw) == (h, w):
+            return img, 1.0
+        return cv2.resize(img, (nw, nh), interpolation=cv2.INTER_LINEAR), scale
+
     def detect(self, images: np.ndarray, file_names: Sequence[str]) -> List[IUVDetection]:
         out: List[IUVDetection] = []
         for i in range(images.shape[0]):
-            img = (images[i].astype(np.float32) - PIXEL_MEAN) / PIXEL_STD
+            raw = images[i]
+            resized, scale = self._resize_input(raw)
+            img = (resized.astype(np.float32) - PIXEL_MEAN) / PIXEL_STD
             self._ensure_variables(img)
             res = jax.device_get(self._apply(self.variables, jnp.asarray(img)))
             valid = res["valid"]
-            boxes = res["boxes"][valid]
+            boxes = res["boxes"][valid] / scale  # back to original frame coords
             scores = res["scores"][valid]
             name = file_names[i] if i < len(file_names) else ""
             if boxes.shape[0] == 0:

@@ -18,13 +18,14 @@ from .layers import batch_norm
 from .slowfast import MODEL_STAGE_DEPTH
 
 
-def _conv2d(features, kernel, strides=(1, 1), *, name, dtype, param_dtype):
+def _conv2d(features, kernel, strides=(1, 1), *, name, dtype, param_dtype,
+            use_bias=False):
     return nn.Conv(
         features,
         kernel,
         strides=strides,
         padding=tuple((k // 2, k // 2) for k in kernel),
-        use_bias=False,
+        use_bias=use_bias,
         dtype=dtype,
         param_dtype=param_dtype,
         name=name,
@@ -32,27 +33,36 @@ def _conv2d(features, kernel, strides=(1, 1), *, name, dtype, param_dtype):
 
 
 class Bottleneck2d(nn.Module):
+    """Bottleneck residual block.
+
+    ``stride_in_1x1=False`` is the torchvision convention (stride on the 3x3);
+    ``True`` is the caffe2/MSRA convention detectron2's released backbones use
+    (stride on the first 1x1) — the converted DensePose weights need it.
+    """
+
     dim_inner: int
     dim_out: int
     stride: int = 1
     use_downsample: bool = False
+    stride_in_1x1: bool = False
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool):
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        s1 = (self.stride, self.stride) if self.stride_in_1x1 else (1, 1)
+        s3 = (1, 1) if self.stride_in_1x1 else (self.stride, self.stride)
         shortcut = x
         if self.use_downsample:
             shortcut = _conv2d(self.dim_out, (1, 1), (self.stride, self.stride),
                                name="downsample_conv", **kw)(x)
             shortcut = batch_norm(train, name="downsample_norm",
                                   param_dtype=self.param_dtype)(shortcut)
-        # torchvision ordering: 1x1 -> 3x3 (stride) -> 1x1.
-        y = _conv2d(self.dim_inner, (1, 1), name="conv1", **kw)(x)
+        y = _conv2d(self.dim_inner, (1, 1), s1, name="conv1", **kw)(x)
         y = batch_norm(train, name="bn1", param_dtype=self.param_dtype)(y)
         y = nn.relu(y).astype(self.dtype)
-        y = _conv2d(self.dim_inner, (3, 3), (self.stride, self.stride), name="conv2", **kw)(y)
+        y = _conv2d(self.dim_inner, (3, 3), s3, name="conv2", **kw)(y)
         y = batch_norm(train, name="bn2", param_dtype=self.param_dtype)(y)
         y = nn.relu(y).astype(self.dtype)
         y = _conv2d(self.dim_out, (1, 1), name="conv3", **kw)(y)
