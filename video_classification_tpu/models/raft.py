@@ -55,40 +55,68 @@ class InstanceNorm(nn.Module):
 
 
 class ResidualUnit(nn.Module):
+    """torchvision/princeton RAFT ResidualBlock: two norm-relu convs + projection.
+
+    ``norm='instance'`` (feature encoder) has no parameters; ``norm='batch'``
+    (context encoder of raft_large) carries BatchNorm params + running stats.
+    Both conv-norm legs end in ReLU (conv1 -> norm -> relu, conv2 -> norm ->
+    relu, add, relu — torchvision raft.py ResidualBlock.forward).
+    """
+
     features: int
     stride: int = 1
+    norm: str = "instance"
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
 
+    def _norm(self, name, train):
+        if self.norm == "batch":
+            from .layers import batch_norm
+
+            return batch_norm(train, name=name, param_dtype=self.param_dtype)
+        return InstanceNorm(name=name)
+
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = False):
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
         y = _conv(self.features, 3, self.stride, name="conv1", **kw)(x)
-        y = nn.relu(InstanceNorm(name="norm1")(y))
+        y = nn.relu(self._norm("norm1", train)(y))
         y = _conv(self.features, 3, 1, name="conv2", **kw)(y)
-        y = InstanceNorm(name="norm2")(y)
+        y = nn.relu(self._norm("norm2", train)(y))
         if self.stride != 1 or x.shape[-1] != self.features:
             x = _conv(self.features, 1, self.stride, name="downsample", **kw)(x)
-            x = InstanceNorm(name="norm3")(x)
+            x = self._norm("norm3", train)(x)
         return nn.relu(x + y)
 
 
 class RAFTEncoder(nn.Module):
-    """1/8-resolution feature tower: 64 -> 64,64 -> 96,96 -> 128,128 -> out."""
+    """1/8-resolution feature tower: 64 -> 64,64 -> 96,96 -> 128,128 -> out.
+
+    raft_large uses InstanceNorm in the feature encoder and BatchNorm in the
+    context encoder (torchvision raft_large builder) — select with ``norm``.
+    """
 
     out_channels: int = 256
+    norm: str = "instance"
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = False):
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
         x = _conv(64, 7, 2, name="conv1", **kw)(x)
-        x = nn.relu(InstanceNorm(name="norm1")(x))
+        if self.norm == "batch":
+            from .layers import batch_norm
+
+            x = nn.relu(batch_norm(train, name="norm1",
+                                   param_dtype=self.param_dtype)(x))
+        else:
+            x = nn.relu(InstanceNorm(name="norm1")(x))
         for i, (feat, stride) in enumerate(
             [(64, 1), (64, 1), (96, 2), (96, 1), (128, 2), (128, 1)]
         ):
-            x = ResidualUnit(feat, stride, name=f"res{i}", **kw)(x)
+            x = ResidualUnit(feat, stride, norm=self.norm,
+                             name=f"res{i}", **kw)(x, train)
         return _conv(self.out_channels, 1, 1, name="conv2", **kw)(x)
 
 
@@ -242,10 +270,10 @@ class RAFT(nn.Module):
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
         x1 = 2.0 * image1 - 1.0
         x2 = 2.0 * image2 - 1.0
-        fnet = RAFTEncoder(256, name="fnet", **kw)
+        fnet = RAFTEncoder(256, norm="instance", name="fnet", **kw)
         f1 = fnet(x1)
         f2 = fnet(x2)
-        cnet_out = RAFTEncoder(256, name="cnet", **kw)(x1)
+        cnet_out = RAFTEncoder(256, norm="batch", name="cnet", **kw)(x1)
         hidden = jnp.tanh(cnet_out[..., :128])
         context = nn.relu(cnet_out[..., 128:])
 

@@ -53,12 +53,15 @@ class ConvertVideoToFlow:
     ``method='variational'`` (default) uses the batched coarse-to-fine kernel;
     ``method='raft'`` uses the RAFT network (models/raft.py) like the reference's
     v2 path (torchvision raft_large, new_feature_test.py:164-165) — pass trained
-    ``raft_variables`` for meaningful flow.
+    ``raft_variables``, or ``raft_checkpoint`` pointing at a torchvision
+    raft_large .pth (converted via models/raft_convert.load_raft_checkpoint),
+    for meaningful flow.
     """
 
     def __init__(self, cfg, flow_params: FlowParams = DEFAULT_PARAMS,
                  batch_size: int = 64, method: str = "variational",
-                 raft_variables=None, raft_iters: int = 12) -> None:
+                 raft_variables=None, raft_iters: int = 12,
+                 raft_checkpoint=None) -> None:
         assert method in ("variational", "raft")
         self.cfg = cfg
         self.flow_base = cfg.CHALEARN.FLOW_VIDEO
@@ -66,6 +69,10 @@ class ConvertVideoToFlow:
         self.batch_size = batch_size
         self.method = method
         self._raft = None
+        if raft_checkpoint is not None and raft_variables is None:
+            from ..models.raft_convert import load_raft_checkpoint
+
+            raft_variables = load_raft_checkpoint(raft_checkpoint)
         self._raft_variables = raft_variables
         if method == "raft":
             from ..models.raft import RAFT
