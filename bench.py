@@ -1,21 +1,35 @@
-"""Benchmark: SlowFast train-step throughput (clips/sec/chip) on synthetic data.
+"""Benchmark: SlowFast train-step + end-to-end pipeline throughput on one chip.
 
-Flagship config: the slowfast-HTAH stream (depth-50 dual-pathway SlowFast, 192 px
-crops, CLIP_LEN=20, the reference's headline model) running the full fused train
-step — device-side normalize + RandomCrop + forward + CE + backward + Adam — on one
-chip, batch auto-scaled down on OOM.
+Primary metric (the JSON ``value``): train-step clips/sec/chip for the flagship
+slowfast-HTAH stream (depth-50 dual-pathway SlowFast, 192 px crops, CLIP_LEN=20)
+running the full fused train step — device-side normalize + RandomCrop + forward
++ CE + backward + Adam — at the largest batch that fits (64/55 with TPU.REMAT as
+the fallback ladder; the reference's flagship batch is 55, config/slowfast-HTAH.yaml).
+
+Extra fields in the same JSON line:
+  * ``model_tflops_per_sec``: measured model FLOP/s from XLA's cost analysis of
+    the compiled step (honest MFU numerator; v5e peak is ~197 bf16 TFLOP/s).
+  * ``e2e_clips_per_sec``: end-to-end device-pipeline throughput — raw uint8
+    frames (CLIP_LEN*interval = 100 per clip at 240x320) through the fused
+    device preprocessing graph (optical flow, 2x pad, body/part crop to the
+    21-channel stack; pipeline/device_pipeline.py) plus the train step,
+    modeled as sequential stages on one chip. Detection is excluded: it runs
+    once per sampled frame with converted weights (detect/d2_convert.py) and
+    is benchmarked by its own harness; detections enter the graph as inputs.
+    Runs in a subprocess with a hard timeout so a preprocessing-program crash
+    (the axon tunnel has wedged on large full-res flow batches) can never take
+    down the primary metric.
 
 Baseline (see BASELINE.md): the reference publishes no numbers; the documented
-estimate for its single-GPU end-to-end pipeline (24 GB-class GPU, batch 55, 10
-DataLoader workers doing 180 cv2.imreads/clip) is ~25 clips/sec. vs_baseline is
-measured / 25.0.
+estimate for its single-GPU end-to-end pipeline is ~25 clips/sec; vs_baseline is
+value / 25.0.
 
-Prints exactly one JSON line:
-  {"metric": ..., "value": N, "unit": "clips/sec/chip", "vs_baseline": N}
+Prints exactly one JSON line.
 """
 
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -27,6 +41,11 @@ REFERENCE_CLIPS_PER_SEC = 25.0  # documented estimate, BASELINE.md
 
 SMOKE = os.environ.get("BENCH_SMOKE") == "1"
 
+# Honor the CLI's platform override when bench.py runs standalone (the e2e
+# child subprocess in particular — it must not land on the TPU tunnel in smoke).
+if os.environ.get("VCT_PLATFORM"):
+    jax.config.update("jax_platforms", os.environ["VCT_PLATFORM"])
+
 # Persistent compilation cache: the flagship step takes minutes to compile
 # through the TPU tunnel; cache it across runs/rounds.
 _CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
@@ -37,7 +56,7 @@ except Exception:
     pass
 
 
-def build(batch_size: int):
+def build(batch_size: int, remat: bool = False):
     from video_classification_tpu.config import load_model_cfg
     from video_classification_tpu.engine import Trainer
     from video_classification_tpu.parallel import make_mesh
@@ -48,6 +67,7 @@ def build(batch_size: int):
     cfg.DATA.SYNTHETIC_NUM_VIDEOS = max(batch_size * 2, 8)
     cfg.DATA.SYNTHETIC_SEQ_LEN = cfg.CHALEARN.CLIP_LEN + 4
     cfg.DEBUG = True  # no checkpoint writes
+    cfg.TPU.REMAT = remat
     if SMOKE:
         cfg.CHALEARN.CLIP_LEN = 4
         cfg.MODEL.DEPTH = 18
@@ -65,23 +85,37 @@ def one_batch(cfg, trainer):
     return next(train_batches(ds, cfg.CHALEARN.BATCH_SIZE, seed=0))
 
 
-def run(batch_size: int):
+def _step_flops(trainer, sharded, weights, rng):
+    """Model FLOPs of the compiled train step (XLA cost analysis), or None."""
+    try:
+        lowered = trainer._train_step.lower(
+            trainer.state, sharded["x"], sharded["label"], weights, rng
+        )
+        cost = lowered.compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        return float(cost["flops"])
+    except Exception:
+        return None
+
+
+def run(batch_size: int, remat: bool):
     from video_classification_tpu.parallel import shard_batch
 
-    cfg, trainer = build(batch_size)
+    cfg, trainer = build(batch_size, remat)
     batch = one_batch(cfg, trainer)
     sharded = shard_batch(trainer.mesh, batch)
 
     weights = jnp.ones((batch["x"].shape[0],), jnp.float32)
+    rng = jax.random.PRNGKey(0)
+    flops = _step_flops(trainer, sharded, weights, jax.random.PRNGKey(1))
 
-    def step(rng):
-        nonlocal sharded
+    def step(r):
         trainer.state, metrics = trainer._train_step(
-            trainer.state, sharded["x"], sharded["label"], weights, rng
+            trainer.state, sharded["x"], sharded["label"], weights, r
         )
         return metrics
 
-    rng = jax.random.PRNGKey(0)
     # Warmup / compile. Sync via host value transfer: on the axon tunnel backend
     # block_until_ready returns before execution finishes, so fetching the scalar
     # is the only reliable fence.
@@ -97,19 +131,100 @@ def run(batch_size: int):
         m = step(r)
     float(m["loss"])  # full sync: last step depends on the whole chain
     dt = time.perf_counter() - t0
-    clips_per_sec = batch_size * n_steps / dt
-    return clips_per_sec / jax.device_count()
+    clips_per_sec = batch_size * n_steps / dt / jax.device_count()
+    tflops = None
+    if flops:
+        tflops = flops * n_steps / dt / jax.device_count() / 1e12
+    return clips_per_sec, tflops
+
+
+def run_e2e_child():
+    """Child process: device-pipeline preprocessing throughput for one clip.
+
+    Prints one JSON line {"pre_sec_per_clip": s} and exits. Raw frames are
+    generated on device (host->device through the tunnel is ~5 MB/s — the
+    deployment path keeps frames device-resident too).
+    """
+    from video_classification_tpu.config import get_cfg
+    from video_classification_tpu.ops.flow import FlowParams
+    from video_classification_tpu.pipeline.device_pipeline import (
+        Detections,
+        preprocess_clip_on_device,
+    )
+
+    cfg = get_cfg()
+    interval = int(cfg.CHALEARN.IMG_SAMPLE_INTERVAL)
+    if SMOKE:
+        t_raw, h, w, hm = 2 * interval, 32, 32, 14
+        flow_params = FlowParams(n_outer=1, n_sor=4, min_width=16)
+    else:
+        t_raw, h, w, hm = int(cfg.CHALEARN.CLIP_LEN) * interval, 240, 320, 112
+        flow_params = FlowParams()
+    s = -(-t_raw // interval)
+
+    key = jax.random.PRNGKey(0)
+    frames = jax.random.randint(key, (t_raw, h, w, 3), 0, 256, jnp.uint8)
+    depth = jax.random.randint(key, (t_raw, h, w, 1), 0, 256, jnp.uint8)
+    dets = Detections(
+        boxes_xyxy=jnp.tile(
+            jnp.asarray([[w * 0.5, h * 0.5, w * 1.5, h * 1.5]], jnp.float32), (s, 1)),
+        valid=jnp.ones((s,), bool),
+        charts=jax.random.randint(key, (s, hm, hm), 0, 25, jnp.int32),
+        uv=jax.random.uniform(key, (s, 2, hm, hm), jnp.float32),
+    )
+
+    fn = jax.jit(lambda f, d, det: preprocess_clip_on_device(
+        f, d, det, interval=interval, flow_params=flow_params))
+    key0 = "CropHTAH"  # flagship stream's folder (crop_cfg crop_part_args)
+    out = fn(frames, depth, dets)  # compile + warmup
+    float(jnp.sum(out[key0][0].astype(jnp.float32)))  # tunnel-safe fence
+
+    n = 1 if SMOKE else 3
+    t0 = time.perf_counter()
+    for _ in range(n):
+        out = fn(frames, depth, dets)
+    float(jnp.sum(out[key0][0].astype(jnp.float32)))
+    dt = (time.perf_counter() - t0) / n
+    print(json.dumps({"pre_sec_per_clip": dt}))
+
+
+def measure_e2e(train_clips_per_sec):
+    """Run the preprocessing bench in a subprocess; combine with the step time."""
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--e2e-child"],
+            capture_output=True, text=True,
+            timeout=300 if SMOKE else 2400,
+            env=os.environ.copy(),
+        )
+        line = proc.stdout.strip().splitlines()[-1]
+        pre = float(json.loads(line)["pre_sec_per_clip"])
+    except Exception as e:
+        print(f"e2e bench unavailable: {type(e).__name__}: {e}", file=sys.stderr)
+        return None
+    if not train_clips_per_sec:
+        return None
+    return 1.0 / (pre + 1.0 / train_clips_per_sec)
 
 
 def main():
     value = None
+    tflops = None
+    used = None
+    # Largest-batch-first ladder; remat trades recompute for activation memory
+    # so the reference's flagship batch (55) and beyond fit a 16 GB chip.
+    strategies = [(8, False)] if SMOKE else [
+        (64, False), (64, True), (55, True), (32, False), (16, False), (8, False),
+    ]
     for attempt in range(1 if SMOKE else 3):
-        for batch in ([8] if SMOKE else [32, 16, 8]):
+        for batch, remat in strategies:
             try:
-                value = run(batch)
+                value, tflops = run(batch, remat)
+                used = (batch, remat)
                 break
-            except Exception as e:  # OOM or compile failure: try smaller batch
-                print(f"batch {batch} failed: {type(e).__name__}: {e}", file=sys.stderr)
+            except Exception as e:  # OOM or compile failure: next rung
+                print(f"batch {batch} remat={remat} failed: "
+                      f"{type(e).__name__}: {e}", file=sys.stderr)
                 transient = "UNAVAILABLE" in str(e) or "crashed" in str(e)
                 if transient:
                     break  # retry the whole attempt after a backoff
@@ -120,17 +235,26 @@ def main():
             time.sleep(120)
     if value is None:
         raise SystemExit("benchmark failed at all batch sizes")
-    print(
-        json.dumps(
-            {
-                "metric": "slowfast_train_clips_per_sec_per_chip",
-                "value": round(float(value), 3),
-                "unit": "clips/sec/chip",
-                "vs_baseline": round(float(value) / REFERENCE_CLIPS_PER_SEC, 3),
-            }
-        )
-    )
+
+    e2e = measure_e2e(value)
+    out = {
+        "metric": "slowfast_train_clips_per_sec_per_chip",
+        "value": round(float(value), 3),
+        "unit": "clips/sec/chip",
+        "vs_baseline": round(float(value) / REFERENCE_CLIPS_PER_SEC, 3),
+        "batch": used[0],
+        "remat": used[1],
+    }
+    if tflops is not None:
+        out["model_tflops_per_sec"] = round(tflops, 2)
+    if e2e is not None:
+        out["e2e_clips_per_sec"] = round(float(e2e), 3)
+        out["e2e_vs_baseline"] = round(float(e2e) / REFERENCE_CLIPS_PER_SEC, 3)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
-    main()
+    if "--e2e-child" in sys.argv:
+        run_e2e_child()
+    else:
+        main()

@@ -124,7 +124,10 @@ class ResBlock(nn.Module):
             self.temporal_stride, self.spatial_stride,
             dtype=self.dtype, param_dtype=self.param_dtype, name="branch2",
         )(x, train)
-        return nn.relu((shortcut + branch2).astype(jnp.float32)).astype(self.dtype)
+        # Residual add + relu stay in the compute dtype: both operands are already
+        # bf16 and relu is exact in any dtype, so an f32 round-trip here only
+        # doubled the HBM traffic of the largest elementwise op in the model.
+        return nn.relu(shortcut + branch2)
 
 
 class ResStage(nn.Module):

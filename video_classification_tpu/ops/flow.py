@@ -285,17 +285,38 @@ def encode_flow_uint8(u: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
 
 
 def video_flow_uint8(
-    frames: jnp.ndarray, params: FlowParams = DEFAULT_PARAMS
+    frames: jnp.ndarray, params: FlowParams = DEFAULT_PARAMS,
+    pair_chunk: int = 0,
 ) -> jnp.ndarray:
     """Per-frame flow images for a video (T, H, W, C) uint8/float.
 
     Frame t's flow is computed against frame t-1; frame 0 flows against itself
     (zero motion) — the reference's first-frame convention
     (chalearn_video_to_flow.py:62-66). Returns (T, H, W, 3) uint8.
+
+    ``pair_chunk > 0`` solves the T frame pairs in sequential chunks of that
+    size (lax.map) instead of one batch: peak memory for the solver state drops
+    from O(T * levels) to O(pair_chunk * levels). Full-resolution (240x320)
+    all-pairs programs have crashed the remote TPU worker at batch >= 8 — chunked
+    execution keeps the per-program footprint below that regime.
     """
     x = frames.astype(jnp.float32) / 255.0
     prev = jnp.concatenate([x[:1], x[:-1]], axis=0)
-    u, v = coarse2fine_flow(prev, x, params)
+    t = x.shape[0]
+    if pair_chunk and pair_chunk < t:
+        n_chunks = -(-t // pair_chunk)
+        pad = n_chunks * pair_chunk - t
+        xp = jnp.concatenate([x, jnp.repeat(x[-1:], pad, 0)]) if pad else x
+        pp = jnp.concatenate([prev, jnp.repeat(prev[-1:], pad, 0)]) if pad else prev
+        xp = xp.reshape((n_chunks, pair_chunk) + x.shape[1:])
+        pp = pp.reshape((n_chunks, pair_chunk) + x.shape[1:])
+        u, v = jax.lax.map(
+            lambda ab: coarse2fine_flow(ab[0], ab[1], params), (pp, xp)
+        )
+        u = u.reshape((n_chunks * pair_chunk,) + u.shape[2:])[:t]
+        v = v.reshape((n_chunks * pair_chunk,) + v.shape[2:])[:t]
+    else:
+        u, v = coarse2fine_flow(prev, x, params)
     return encode_flow_uint8(u, v)
 
 

@@ -169,6 +169,7 @@ def preprocess_clip_on_device(
     parts: Sequence = None,
     flow_params: FlowParams = DEFAULT_PARAMS,
     flow_images: jnp.ndarray = None,  # optional precomputed (T_raw, H, W, 3) uint8
+    flow_pair_chunk: int = 4,
 ) -> Dict[str, jnp.ndarray]:
     """Returns {crop_folder: (S, size, size, 21) uint8} + {'<folder>_valid': (S,)}."""
     parts = list(parts) if parts is not None else crop_part_args
@@ -179,7 +180,10 @@ def preprocess_clip_on_device(
     canvas_hw = (2 * h, 2 * w)
 
     if flow_images is None:
-        flow_images = video_flow_uint8(frames_bgr, flow_params)  # (T_raw, H, W, 3)
+        # Chunked: bounds solver memory (full-res all-pairs flow has crashed
+        # the remote TPU worker at batch >= 8 — see ops/flow.video_flow_uint8).
+        flow_images = video_flow_uint8(frames_bgr, flow_params,
+                                       pair_chunk=flow_pair_chunk)
     flow_pad = _pad2x_batch(flow_images)
     rgb_pad = _pad2x_batch(frames_bgr)
     depth_pad = _pad2x_batch(frames_depth)
