@@ -1,0 +1,107 @@
+"""Online (stage-folder-free) training path tests.
+
+DATA.BACKEND='online' must train end-to-end from raw 1_Sample videos with no
+2_Flow/3_Pad/Crop* folders ever created (VERDICT r1 item 4; the inversion of
+the reference's run_data_preprocess.sh materialization chain).
+"""
+
+import random
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from video_classification_tpu.config import get_cfg
+from video_classification_tpu.data.fixture import generate_raw_fixture
+from video_classification_tpu.ops.flow import FlowParams
+from video_classification_tpu.pipeline.online import (
+    OnlineVideoDataset,
+    SyntheticOnlineDetector,
+)
+from video_classification_tpu.pipeline.stages import sample_data
+
+STAGE_FOLDERS = ("2_Images", "2_Flow", "3_Pad", "4_IUV", "CropBody", "CropHTAH",
+                 "CropLHand", "CropTorso")
+
+
+def _online_cfg(tmp_path, clip_len=2, num_frames=12):
+    cfg = get_cfg()
+    cfg.CHALEARN.ROOT = str(tmp_path)
+    cfg.CHALEARN.NUM_CLASS = 2
+    cfg.CHALEARN.SAMPLE_CLASS = 2
+    cfg.CHALEARN.CLIP_LEN = clip_len
+    cfg.CHALEARN.BATCH_SIZE = 2
+    cfg.MODEL.DEPTH = 18
+    cfg.MODEL.R3D_INPUT = "CropLHand"  # 64 px: cheap on the 1-core host
+    cfg.MODEL.NAME = "slowfast-online-test"  # ModelManager dispatches on NAME
+    cfg.TPU.COMPUTE_DTYPE = "float32"
+    cfg.DATA.BACKEND = "online"
+    cfg.DATA.FLOW_OUTER = 1
+    cfg.DATA.FLOW_SOR = 2
+    cfg.DATA.FLOW_MIN_WIDTH = 16
+    # Frames big enough that the synthetic hand band clears the reference's
+    # >=15 px part rule (chalearn_iuv_to_crop.py:148-149) after box scaling.
+    generate_raw_fixture(cfg, num_videos_per_set=2, num_classes=2,
+                         num_frames=num_frames, hw=(64, 96),
+                         sets=("train", "test"))
+    sample_data(cfg, sets=("train", "test"))
+    return cfg
+
+
+def test_virtual_window_layout(tmp_path):
+    cfg = _online_cfg(tmp_path)
+    ds = OnlineVideoDataset(cfg, "train", detector=SyntheticOnlineDetector())
+    # Contiguous sampled clip [1, 2] at interval 5: virtual window must end each
+    # segment exactly on the sampled raw frame with its true predecessors.
+    raw = ds._virtual_window([1, 2], t_video=100)
+    assert list(raw) == [5, 6, 7, 8, 9, 10]
+    # Wraparound seam: companions still precede each sampled frame.
+    raw = ds._virtual_window([3, 0], t_video=100)
+    assert raw[0] == 15 and raw[-1] == 0
+    assert list(raw[1:]) == [0, 0, 0, 0, 0]  # clamped at video start
+
+
+def test_online_clip_contract(tmp_path):
+    cfg = _online_cfg(tmp_path)
+    ds = OnlineVideoDataset(cfg, "train", detector=SyntheticOnlineDetector())
+    item = ds.get_train_clip(0, random.Random(0))
+    assert item["x"].shape == (2, 64, 64, 21)
+    assert item["x"].dtype == np.uint8
+    assert item["label"] in (0, 1)
+    # Synthetic detector guarantees the left-hand band exists -> not all missing.
+    assert not np.all(item["x"] == 127)
+    evals = ds.get_eval_clips(0, random.Random(0))
+    assert all(c.shape == (2, 64, 64, 21) for c in evals["clips"])
+
+
+@pytest.mark.slow
+def test_online_train_no_stage_folders(tmp_path):
+    """Trainer on DATA.BACKEND='online': end-to-end from 1_Sample, disk stays raw."""
+    from video_classification_tpu.engine import Trainer
+
+    cfg = _online_cfg(tmp_path)
+    cfg.MODEL.MAX_EPOCH = 1
+    trainer = Trainer(cfg)
+    assert type(trainer.train_dataset).__name__ == "OnlineVideoDataset"
+    acc = trainer.train()
+    assert 0.0 <= acc <= 1.0
+    for folder in STAGE_FOLDERS:
+        assert not Path(tmp_path, folder).exists(), f"{folder} was materialized"
+    # The checkpoint is the only artifact.
+    ckpts = list(Path(tmp_path, "logs", "checkpoints",
+                      "slowfast-online-test").glob("*.ckpt"))
+    assert ckpts, "no checkpoint written"
+
+
+def test_flow_pair_chunk_matches_unchunked():
+    """Chunked flow (tunnel-safe path) must equal the all-pairs batch bitwise."""
+    import jax.numpy as jnp
+
+    from video_classification_tpu.ops.flow import video_flow_uint8
+
+    rng = np.random.RandomState(0)
+    frames = rng.randint(0, 255, (7, 24, 24, 3), np.uint8)
+    p = FlowParams(n_outer=1, n_sor=4, min_width=16)
+    full = np.asarray(video_flow_uint8(jnp.asarray(frames), p))
+    chunked = np.asarray(video_flow_uint8(jnp.asarray(frames), p, pair_chunk=3))
+    np.testing.assert_array_equal(full, chunked)

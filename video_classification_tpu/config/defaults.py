@@ -70,7 +70,9 @@ _C.TPU.MESH_SHAPE = [-1]          # Device mesh; -1 = all available devices.
 _C.TPU.MESH_AXES = ["data"]       # Axis names; batch is sharded over 'data'.
 _C.TPU.COMPUTE_DTYPE = "bfloat16"  # MXU-friendly activations/compute dtype.
 _C.TPU.PARAM_DTYPE = "float32"     # Master weights.
-_C.TPU.CROSS_REPLICA_BN = True     # Sync batch-norm stats over the 'data' axis.
+# Note: batch-norm is cross-replica by construction — the train step is one
+# global-view jit program, so BN moments reduce over the full global batch
+# (models/layers.py); there is no per-replica mode to toggle.
 _C.TPU.PREFETCH_DEPTH = 1  # Device-side double buffering depth. Each queued batch
                            # holds HBM (~0.5 GB at batch 32/192px); with the
                            # flagship step's ~15 GB working set, 1 is the safe
@@ -81,9 +83,20 @@ _C.TPU.SEED = 0
 _C.TPU.COMPILATION_CACHE_DIR = ""  # non-empty: persistent XLA compile cache.
 
 _C.DATA = CfgNode()
-_C.DATA.BACKEND = "auto"     # Host decode backend: 'auto' | 'cv2' | 'native' | 'synthetic'.
+# Input backend: 'auto' | 'cv2' | 'native' pick the host decoder for the
+# offline crop folders; 'online' trains straight from the raw 1_Sample videos
+# through the fused device preprocessing graph — no stage folders on disk
+# (pipeline/online.py).
+_C.DATA.BACKEND = "auto"
 _C.DATA.SYNTHETIC_NUM_VIDEOS = 0  # >0: use the synthetic fixture with this many videos.
 _C.DATA.SYNTHETIC_SEQ_LEN = 24    # Frames per synthetic video.
+_C.DATA.ONLINE_DETECTOR = "synthetic"  # online-path detections: 'synthetic' | 'densepose'.
+_C.DATA.DENSEPOSE_PKL = ""  # converted detectron2 pkl for the online detector.
+# Online-path flow solver effort (reference pyflow params by default,
+# chalearn_video_to_flow.py:27-33); turn down for CPU tests.
+_C.DATA.FLOW_OUTER = 7
+_C.DATA.FLOW_SOR = 30
+_C.DATA.FLOW_MIN_WIDTH = 20
 
 _DEFAULT_OVERRIDE_LOCATIONS = (
     Path("..", "cfg_override.yaml"),

@@ -58,7 +58,16 @@ class Trainer:
         if cfg.TPU.COMPILATION_CACHE_DIR:
             jax.config.update("jax_compilation_cache_dir", cfg.TPU.COMPILATION_CACHE_DIR)
 
-        make_ds = dataset_factory or ChalearnVideoDataset
+        if dataset_factory is not None:
+            make_ds = dataset_factory
+        elif str(cfg.DATA.BACKEND) == "online":
+            # Stage-folder-free path: raw videos through the fused device
+            # preprocessing graph (pipeline/online.py).
+            from ..pipeline.online import OnlineVideoDataset
+
+            make_ds = OnlineVideoDataset
+        else:
+            make_ds = ChalearnVideoDataset
         self.train_dataset = make_ds(cfg, "train")
         self.test_dataset = make_ds(cfg, "test")
 

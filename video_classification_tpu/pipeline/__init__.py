@@ -1,4 +1,10 @@
 from .iuv_contract import IUVDetection, IUVProvider, SyntheticIUVProvider
+from .online import (
+    DensePoseOnlineDetector,
+    OnlineVideoDataset,
+    SyntheticOnlineDetector,
+    make_online_detector,
+)
 from .stages import (
     sample_data,
     video_to_images,
@@ -15,6 +21,10 @@ __all__ = [
     "IUVDetection",
     "IUVProvider",
     "SyntheticIUVProvider",
+    "DensePoseOnlineDetector",
+    "OnlineVideoDataset",
+    "SyntheticOnlineDetector",
+    "make_online_detector",
     "sample_data",
     "video_to_images",
     "video_to_flow",

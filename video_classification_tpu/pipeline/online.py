@@ -1,0 +1,276 @@
+"""Online training path: raw 1_Sample videos -> model-ready clips, zero stage folders.
+
+This inverts the reference's materialize-everything architecture
+(`run_data_preprocess.sh:8-15`: six stage folders of JPEGs between the raw
+videos and the trainer): with ``cfg.DATA.BACKEND = 'online'`` the Trainer's
+dataset decodes the raw M_/K_ .avi pair and produces the (T, size, size, 21)
+uint8 clips directly through the fused device graph
+(pipeline/device_pipeline.preprocess_clip_on_device — flow, 2x pad, body crop,
+part CC boxes, UV rasterization, crop + resize in one jit program). Nothing is
+ever written to disk.
+
+Detections are per-sampled-frame inputs to the graph, produced by a pluggable
+detector: ``synthetic`` (deterministic geometry — tests and untrained runs) or
+``densepose`` (the in-graph DensePoseRCNN with converted weights,
+cfg.DATA.DENSEPOSE_PKL). This mirrors the deployment split: detection runs once
+per sampled frame; flow/crop/train run per clip.
+
+Clip windows: training samples ``CLIP_LEN`` *sampled* frames (every
+IMG_SAMPLE_INTERVAL-th raw frame) with the reference's wraparound policy
+(chalearn_dataset.py:123-129); eval uses stride-4 sliding windows (:131-140).
+For each sampled frame the window carries its ``interval-1`` preceding raw
+frames so the device flow computes the same F0..F4 companions the offline
+chain stores (chalearn_iuv_to_crop.py:25-59). At a wraparound seam the first
+companion pair spans the seam — one of five flow frames, the same boundary
+clamping the reference applies at video start.
+"""
+
+from __future__ import annotations
+
+import random as pyrandom
+from functools import partial
+from pathlib import Path
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config.crop_cfg import crop_part_args, crop_resize_dict
+from ..data.dataset import MISSING_FILL, NUM_MODALITY_CHANNELS
+from ..ops.flow import FlowParams
+from ..ops.sampling import random_clip_indices, uniform_clip_indices
+from ..utils.labels import get_labels
+from .device_pipeline import Detections, preprocess_clip_on_device
+
+
+def flow_params_from_cfg(cfg) -> FlowParams:
+    return FlowParams(
+        n_outer=int(cfg.DATA.FLOW_OUTER),
+        n_sor=int(cfg.DATA.FLOW_SOR),
+        min_width=int(cfg.DATA.FLOW_MIN_WIDTH),
+    )
+
+
+class SyntheticOnlineDetector:
+    """Deterministic detections: centered body box, banded part charts.
+
+    The chart bands cover head (23/24), torso (1/2), hands (3/4) and arms so
+    every crop stream finds its component. Coordinates are in the 2x-padded
+    frame, matching the device pipeline's contract.
+    """
+
+    def __init__(self, heatmap_size: int = 56):
+        self.heatmap_size = heatmap_size
+        self._chart_cache: Optional[np.ndarray] = None
+
+    def _charts(self) -> np.ndarray:
+        if self._chart_cache is None:
+            hm = self.heatmap_size
+            c = np.zeros((hm, hm), np.int32)
+            rows = np.broadcast_to(np.arange(hm)[:, None], (hm, hm))
+            cols = np.broadcast_to(np.arange(hm)[None, :], (hm, hm))
+            c[(rows < hm // 5)] = 23                                   # head
+            c[(rows >= hm // 5) & (rows < 2 * hm // 5)] = 1            # torso
+            c[(rows >= hm // 5) & (rows < 2 * hm // 5) & (cols >= hm // 2)] = 2
+            arm_band = (rows >= 2 * hm // 5) & (rows < 3 * hm // 5)
+            c[arm_band & (cols < hm // 2)] = 7                         # l arm
+            c[arm_band & (cols >= hm // 2)] = 6                        # r arm
+            hand_band = rows >= 3 * hm // 5  # generous: hand crops must clear
+            c[hand_band & (cols < hm // 2)] = 4  # the >=15 px rule in tests
+            c[hand_band & (cols >= hm // 2)] = 3
+            self._chart_cache = c
+        return self._chart_cache
+
+    def __call__(self, padded_frames_bgr: np.ndarray) -> Detections:
+        s, ph, pw = padded_frames_bgr.shape[:3]
+        h, w = ph // 2, pw // 2
+        box = np.asarray([w * 0.6, h * 0.55, w * 1.4, h * 1.45], np.float32)
+        hm = self.heatmap_size
+        charts = np.broadcast_to(self._charts(), (s, hm, hm))
+        uu = np.linspace(0.0, 1.0, hm, dtype=np.float32)
+        uv = np.broadcast_to(
+            np.stack([np.tile(uu, (hm, 1)), np.tile(uu[:, None], (1, hm))]),
+            (s, 2, hm, hm),
+        )
+        return Detections(
+            boxes_xyxy=jnp.asarray(np.tile(box, (s, 1))),
+            valid=jnp.ones((s,), bool),
+            charts=jnp.asarray(charts),
+            uv=jnp.asarray(uv),
+        )
+
+
+class DensePoseOnlineDetector:
+    """In-graph DensePoseRCNN detections for the online path.
+
+    Runs the detector per sampled (2x-padded) frame and keeps the best valid
+    detection — the reference's argmax-score policy
+    (chalearn_iuv_to_crop.py:212-213).
+    """
+
+    def __init__(self, cfg, variables=None, depth: int = 101,
+                 pre_nms_topk: int = 256, post_nms_topk: int = 64,
+                 max_detections: int = 8, chart_pooler_size: int = 28):
+        from ..detect.densepose import DensePoseRCNN
+
+        if variables is None and str(cfg.DATA.DENSEPOSE_PKL):
+            from ..detect.d2_convert import load_densepose_variables
+
+            variables = load_densepose_variables(cfg.DATA.DENSEPOSE_PKL, depth=depth)
+        self.model = DensePoseRCNN(
+            depth=depth, pre_nms_topk=pre_nms_topk, post_nms_topk=post_nms_topk,
+            max_detections=max_detections, chart_pooler_size=chart_pooler_size)
+        self.heatmap_size = self.model.heatmap_size
+        self.variables = variables
+        from ..detect.provider import PIXEL_MEAN
+
+        mean = jnp.asarray(PIXEL_MEAN)
+
+        def one(variables, frame):
+            res = self.model.apply(variables, frame.astype(jnp.float32) - mean,
+                                   train=False)
+            best = jnp.argmax(res["scores"])
+            return (res["boxes"][best], res["valid"][best],
+                    res["charts"][best], jnp.stack([res["u"][best], res["v"][best]]))
+
+        self._one = jax.jit(one)
+
+    def __call__(self, padded_frames_bgr: np.ndarray) -> Detections:
+        if self.variables is None:
+            x = jnp.asarray(padded_frames_bgr[0], jnp.float32)
+            self.variables = self.model.init(jax.random.PRNGKey(0), x, train=False)
+        outs = [self._one(self.variables, jnp.asarray(f)) for f in padded_frames_bgr]
+        boxes, valid, charts, uv = (jnp.stack([o[i] for o in outs]) for i in range(4))
+        return Detections(boxes_xyxy=boxes, valid=valid,
+                          charts=charts.astype(jnp.int32), uv=uv)
+
+
+def make_online_detector(cfg):
+    kind = str(cfg.DATA.ONLINE_DETECTOR)
+    if kind == "synthetic":
+        return SyntheticOnlineDetector()
+    if kind == "densepose":
+        return DensePoseOnlineDetector(cfg)
+    raise ValueError(f"unknown DATA.ONLINE_DETECTOR: {kind}")
+
+
+class OnlineVideoDataset:
+    """Drop-in for ChalearnVideoDataset: same get_train_clip/get_eval_clips
+    contract, fed from raw videos through the fused device graph."""
+
+    def __init__(self, cfg, name_of_set: str, sampling: Optional[str] = None,
+                 detector=None, flow_params: Optional[FlowParams] = None) -> None:
+        assert name_of_set in ("train", "test", "valid")
+        self.cfg = cfg
+        self.name_of_set = name_of_set
+        self.clip_len = int(cfg.CHALEARN.CLIP_LEN)
+        self.interval = int(cfg.CHALEARN.IMG_SAMPLE_INTERVAL)
+        self.crop_folder = cfg.MODEL.R3D_INPUT
+        self.crop_size = crop_resize_dict[self.crop_folder]
+        self.labels = get_labels(cfg, name_of_set)
+        self.sampling = sampling or ("random" if name_of_set == "train" else "uniform")
+        self.detector = detector if detector is not None else make_online_detector(cfg)
+        self.flow_params = flow_params or flow_params_from_cfg(cfg)
+        parts = [p for p in crop_part_args if p[1] == self.crop_folder]
+        if not parts:
+            raise ValueError(f"{self.crop_folder} is not a part-crop stream")
+        self._parts = tuple(parts)
+        self._decode_cache: Dict[int, Tuple[np.ndarray, np.ndarray]] = {}
+        self._preprocess = jax.jit(partial(
+            preprocess_clip_on_device,
+            interval=self.interval,
+            parts=self._parts,
+            flow_params=self.flow_params,
+        ))
+
+    def __len__(self) -> int:
+        return len(self.labels)
+
+    # -- decode ------------------------------------------------------------------
+
+    def _decode(self, index: int) -> Tuple[np.ndarray, np.ndarray]:
+        if index in self._decode_cache:
+            return self._decode_cache[index]
+        import cv2
+
+        m_rel, k_rel, _ = self.labels[index]
+        root = Path(self.cfg.CHALEARN.ROOT, self.cfg.CHALEARN.SAMPLE)
+
+        def read(path, gray):
+            cap = cv2.VideoCapture(str(path))
+            frames = []
+            while True:
+                ok, frame = cap.read()
+                if not ok:
+                    break
+                if gray:
+                    frame = cv2.cvtColor(frame, cv2.COLOR_BGR2GRAY)[..., None]
+                frames.append(frame)
+            cap.release()
+            return np.stack(frames) if frames else None
+
+        rgb = read(root / m_rel, gray=False)
+        depth = read(root / k_rel, gray=True)
+        if rgb is None:
+            rgb = np.full((1, 64, 64, 3), MISSING_FILL, np.uint8)
+        if depth is None or depth.shape[0] != rgb.shape[0]:
+            depth = np.full(rgb.shape[:3] + (1,), MISSING_FILL, np.uint8)
+        if len(self._decode_cache) >= 8:
+            self._decode_cache.pop(next(iter(self._decode_cache)))
+        self._decode_cache[index] = (rgb, depth)
+        return rgb, depth
+
+    def _seq_len_sampled(self, index: int) -> int:
+        rgb, _ = self._decode(index)
+        return max(-(-rgb.shape[0] // self.interval), 1)
+
+    # -- clip assembly -----------------------------------------------------------
+
+    def _virtual_window(self, sampled_idx: List[int], t_video: int) -> np.ndarray:
+        """Raw-frame indices of the virtual window: sampled frame k sits at
+        virtual position k*interval, preceded by its interval-1 flow companions."""
+        n = (len(sampled_idx) - 1) * self.interval + 1
+        raw = np.zeros((n,), np.int64)
+        for j in range(n):
+            k = -(-j // self.interval)  # segment ending at k*interval
+            delta = k * self.interval - j
+            raw[j] = sampled_idx[k] * self.interval - delta
+        return np.clip(raw, 0, t_video - 1)
+
+    def _make_clip(self, index: int, sampled_idx: List[int]) -> np.ndarray:
+        rgb, depth = self._decode(index)
+        raw_idx = self._virtual_window(sampled_idx, rgb.shape[0])
+        frames = rgb[raw_idx]
+        depth_w = depth[raw_idx]
+        s = len(sampled_idx)
+        sampled_pos = np.arange(0, frames.shape[0], self.interval)
+        assert len(sampled_pos) == s
+        h, w = frames.shape[1:3]
+        padded = np.zeros((s, 2 * h, 2 * w, 3), np.uint8)
+        padded[:, h // 2 : h // 2 + h, w // 2 : w // 2 + w] = frames[sampled_pos]
+        dets = self.detector(padded)
+        out = self._preprocess(jnp.asarray(frames), jnp.asarray(depth_w), dets)
+        clip = np.asarray(jax.device_get(out[self.crop_folder]))
+        assert clip.shape == (s, self.crop_size, self.crop_size,
+                              NUM_MODALITY_CHANNELS)
+        return clip
+
+    # -- public API (ChalearnVideoDataset contract) --------------------------------
+
+    def get_train_clip(self, index: int, rng: pyrandom.Random) -> Dict:
+        seq = self._seq_len_sampled(index)
+        idx = random_clip_indices(seq, self.clip_len, rng)
+        return {"x": self._make_clip(index, idx),
+                "label": self.labels[index][2] - 1}
+
+    def get_eval_clips(self, index: int, rng: pyrandom.Random) -> Dict:
+        seq = self._seq_len_sampled(index)
+        clips = uniform_clip_indices(seq, self.clip_len, rng)
+        xs = [self._make_clip(index, ci) for ci in clips]
+        return {"clips": xs, "label": self.labels[index][2] - 1}
+
+    def num_eval_clips(self, index: int) -> int:
+        from ..ops.sampling import num_uniform_clips
+
+        return num_uniform_clips(self._seq_len_sampled(index), self.clip_len)
