@@ -8,6 +8,12 @@ from .mesh import (
     pad_to_multiple,
     visible_device_count,
 )
+from .multihost import (
+    assemble_fake_multihost,
+    global_batch_from_local,
+    host_batch_indices,
+    initialize_distributed,
+)
 
 __all__ = [
     "make_mesh",
@@ -18,4 +24,8 @@ __all__ = [
     "pad_batch_for_mesh",
     "pad_to_multiple",
     "visible_device_count",
+    "assemble_fake_multihost",
+    "global_batch_from_local",
+    "host_batch_indices",
+    "initialize_distributed",
 ]

@@ -6,9 +6,9 @@ batch ('data') axis sharded, parameters and batch-norm statistics replicated. Ev
 train/eval step is a global-view jit program — GSPMD inserts the ICI collectives
 (gradient psum, global batch-norm moments) automatically.
 
-Multi-host: call `jax.distributed.initialize()` before `make_mesh()` and feed each
-process its per-host shard of the global batch via
-`jax.make_array_from_process_local_data`.
+Multi-host: see parallel/multihost.py — `initialize_distributed(cfg)` before
+`make_mesh()`, per-host feeding via `host_batch_indices` +
+`global_batch_from_local` (`jax.make_array_from_process_local_data`).
 """
 
 from __future__ import annotations
