@@ -97,3 +97,16 @@ def test_synthetic_mode():
     # Deterministic per index.
     item2 = ds.get_train_clip(2, random.Random(5))
     assert (item["x"] == item2["x"]).all()
+
+
+def test_eval_samples_per_video_materialized(fixture_cfg):
+    """sv is complete BEFORE the generator is touched, and partial consumption
+    (DEBUG islice) cannot corrupt it — the r1 drain-order trap."""
+    import itertools
+
+    ds = ChalearnVideoDataset(fixture_cfg, "test")
+    gen, sv = eval_batches(ds, 3)
+    assert sv == [ds.num_eval_clips(i) for i in range(len(ds))]
+    sv_before = list(sv)
+    list(itertools.islice(gen, 1))  # partial drain
+    assert sv == sv_before

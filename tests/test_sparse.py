@@ -71,3 +71,23 @@ def test_sparse_trainer_aggregation_uses_videos(sparse_cfg):
     trainer = SparseTrainer(sparse_cfg, batch_size=8)
     trainer.test(epoch=0)
     assert len(trainer.test_dataset.sv) == 10
+
+
+def test_epoch_batch_plan_each_sample_once():
+    """Pad+mask plan: one epoch touches every sample exactly once (the
+    reference's short-final-batch semantics, train_sparse.py:153-182)."""
+    from video_classification_tpu.engine.sparse import epoch_batch_plan
+
+    for n, bs in ((20, 8), (8, 8), (5, 8), (16, 8), (1, 500)):
+        num_batches, pad = epoch_batch_plan(n, bs)
+        assert num_batches * bs == n + pad
+        assert 0 <= pad < bs
+        # Simulate the scan's index/weight windows over a permutation.
+        perm = list(range(n)) + [0] * pad
+        weights = [1.0] * n + [0.0] * pad
+        seen = []
+        for i in range(num_batches):
+            idx = perm[i * bs:(i + 1) * bs]
+            wb = weights[i * bs:(i + 1) * bs]
+            seen.extend(j for j, w in zip(idx, wb) if w > 0)
+        assert sorted(seen) == list(range(n))

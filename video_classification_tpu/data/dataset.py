@@ -27,7 +27,11 @@ from typing import Dict, Iterator, List, Optional, Tuple
 import numpy as np
 
 from ..config.crop_cfg import crop_resize_dict
-from ..ops.sampling import random_clip_indices, uniform_clip_indices
+from ..ops.sampling import (
+    num_uniform_clips,
+    random_clip_indices,
+    uniform_clip_indices,
+)
 from ..utils.labels import get_labels
 
 NUM_MODALITY_CHANNELS = 21
@@ -174,6 +178,11 @@ class ChalearnVideoDataset:
         xs = [self._collect(index, ci, names, nsetx3x5) for ci in clips]
         return {"clips": xs, "label": self.labels[index][2] - 1}
 
+    def num_eval_clips(self, index: int) -> int:
+        """Clip count of get_eval_clips without loading any frame data."""
+        seq_len, _, _ = self._seq_len(index)
+        return num_uniform_clips(max(seq_len, 1), self.clip_len)
+
 
 # -- batching -------------------------------------------------------------------------
 
@@ -212,11 +221,16 @@ def eval_batches(
     change: the final partial batch is padded to ``batch_size`` and carries a
     ``valid`` mask instead of being ragged (XLA static shapes).
 
-    Returns (generator, samples_per_video). samples_per_video is filled lazily while
-    iterating, in video order — identical to the reference's bookkeeping
-    (train.py:317).
+    Returns (generator, samples_per_video). samples_per_video is MATERIALIZED
+    up front from the cheap per-video clip counts (``num_eval_clips`` reads no
+    frame data), so consumers may use it before, during, or after — or without —
+    draining the generator; the generator asserts each video produces exactly
+    the promised count. (The reference fills it lazily while iterating,
+    train.py:317 — a drain-order trap this design removes.)
     """
-    samples_per_video: List[int] = []
+    samples_per_video: List[int] = [
+        dataset.num_eval_clips(i) for i in range(len(dataset))
+    ]
 
     def gen():
         rng = pyrandom.Random(seed)
@@ -224,7 +238,8 @@ def eval_batches(
         pending_y: List[int] = []
         for index in range(len(dataset)):
             item = dataset.get_eval_clips(index, rng)
-            samples_per_video.append(len(item["clips"]))
+            assert len(item["clips"]) == samples_per_video[index], (
+                index, len(item["clips"]), samples_per_video[index])
             pending_x.extend(item["clips"])
             pending_y.extend([item["label"]] * len(item["clips"]))
             while len(pending_x) >= batch_size:

@@ -45,6 +45,16 @@ SPARSE_EPOCHS = 2000   # train_sparse.py:172
 TEST_EVERY = 10        # train_sparse.py:190
 
 
+def epoch_batch_plan(n: int, bs: int):
+    """(num_batches, pad): ceil-divide n samples into bs-sized scan steps.
+
+    The permutation is padded by ``pad`` filler slots whose loss weight is 0,
+    so one epoch touches every sample exactly once (no dropped remainder, no
+    clamped-window overlap)."""
+    num_batches = max(1, -(-n // bs))
+    return num_batches, num_batches * bs - n
+
+
 def sparse_dir(cfg, name_of_set: str) -> Path:
     return Path(cfg.CHALEARN.ROOT, cfg.MODEL.LOGS, "sparse_fusion", name_of_set)
 
@@ -134,23 +144,31 @@ class SparseTrainer:
         model, tx, bs = self.model, self.tx, self.batch_size
         x_all, t_all = self.train_dataset.as_arrays()
         n = x_all.shape[0]
-        num_batches = max(1, n // bs) if n >= bs else 1
+        num_batches, pad = epoch_batch_plan(n, bs)
         x_dev = jnp.asarray(x_all)
         t_dev = jnp.asarray(t_all)
+        # Position weights: the last `pad` slots of the padded permutation are
+        # filler (index 0 repeated) and must not contribute loss — the
+        # reference's DataLoader yields a short final batch instead
+        # (train_sparse.py:153-182); masking is the static-shape equivalent.
+        # Each sample is touched exactly once per epoch.
+        pos_w = jnp.concatenate(
+            [jnp.ones((n,), jnp.float32), jnp.zeros((pad,), jnp.float32)])
 
         def epoch(params, opt_state, rng):
             perm = jax.random.permutation(rng, n)
+            perm = jnp.concatenate([perm, jnp.zeros((pad,), perm.dtype)])
 
             def body(carry, i):
                 params, opt_state = carry
-                idx = jax.lax.dynamic_slice_in_dim(perm, i * bs, min(bs, n))
+                idx = jax.lax.dynamic_slice_in_dim(perm, i * bs, bs)
+                wb = jax.lax.dynamic_slice_in_dim(pos_w, i * bs, bs)
                 xb, tb = x_dev[idx], t_dev[idx]
 
                 def loss_fn(p):
                     logits = model.apply({"params": p}, xb)
-                    return optax.softmax_cross_entropy_with_integer_labels(
-                        logits, tb
-                    ).mean()
+                    ce = optax.softmax_cross_entropy_with_integer_labels(logits, tb)
+                    return jnp.sum(ce * wb) / jnp.maximum(jnp.sum(wb), 1.0)
 
                 loss, grads = jax.value_and_grad(loss_fn)(params)
                 updates, opt_state = tx.update(grads, opt_state, params)

@@ -46,13 +46,36 @@ def _min_pool_labels(labels: jnp.ndarray, fg: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(fg, out, inf)
 
 
-def label_components(mask: jnp.ndarray, max_iters: int | None = None) -> jnp.ndarray:
+def _use_pallas_cc(backend: str, h: int, w: int) -> bool:
+    from .pallas_components import fits_vmem
+
+    if backend in ("pallas", "pallas_interpret"):
+        return True
+    if backend == "xla":
+        return False
+    return jax.default_backend() == "tpu" and fits_vmem(h, w)
+
+
+def label_components(mask: jnp.ndarray, max_iters: int | None = None,
+                     backend: str = "auto") -> jnp.ndarray:
     """Connected-component labels (8-connectivity) for a bool (H, W) mask.
 
     Foreground pixels get the minimum linear index of their component; background
     pixels get INT32_MAX.
+
+    Backend selection mirrors ops/flow: 'auto' uses the Pallas VMEM-resident
+    propagation kernel on TPU when the mask fits the VMEM budget (the XLA path
+    round-trips the label map through HBM every iteration), the XLA
+    while-loop otherwise; 'xla' | 'pallas' | 'pallas_interpret' force a choice.
     """
     h, w = mask.shape
+    if _use_pallas_cc(backend, h, w):
+        from .pallas_components import label_components_pallas
+
+        return label_components_pallas(
+            mask[None], n_iters=max_iters,
+            interpret=(backend == "pallas_interpret"),
+        )[0]
     inf = jnp.iinfo(jnp.int32).max
     lin = (
         jax.lax.broadcasted_iota(jnp.int32, (h, w), 0) * w

@@ -119,3 +119,12 @@ class ChalearnGestureDataset:
             "clips": [self._features_from_indices(c, boxes, rgb_path) for c in clips],
             "label": label - 1,
         }
+
+    def num_eval_clips(self, index: int) -> int:
+        """Clip count of get_eval_clips without reading any video data."""
+        m, _, _ = self.label_list[index]
+        rgb_path = Path(self.cfg.CHALEARN.ROOT, self.cfg.CHALEARN.SAMPLE, m)
+        seq_len = max(1, len(self._load_boxes(rgb_path)) - 1)
+        if seq_len <= self.clip_len:
+            return 1
+        return len(range(0, seq_len - self.clip_len, self.clip_len))
