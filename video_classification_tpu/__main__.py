@@ -73,6 +73,9 @@ def main(argv=None):
     p.add_argument("--sets", nargs="*", default=["train", "test", "valid"])
     p.add_argument("--provider", choices=["densepose", "synthetic"],
                    default="densepose")
+    p.add_argument("--densepose-pkl", default=None,
+                   help="detectron2 model_final_*.pkl for the densepose provider "
+                        "(converted via detect/d2_convert)")
     _add_opts(p)
 
     p = sub.add_parser("sparse-dump", help="dump per-part eval materials")
@@ -83,6 +86,13 @@ def main(argv=None):
     p = sub.add_parser("v2-convert", help="run the v2 video-native converters")
     p.add_argument("--provider", choices=["densepose", "synthetic"],
                    default="densepose")
+    p.add_argument("--densepose-pkl", default=None,
+                   help="detectron2 pkl for the densepose provider")
+    p.add_argument("--flow-method", choices=["variational", "raft"],
+                   default="variational")
+    p.add_argument("--raft-checkpoint", default=None,
+                   help="torchvision raft_large .pth (converted via "
+                        "models/raft_convert) for --flow-method raft")
     _add_opts(p)
     p = sub.add_parser("v2-train", help="train the v2 (5,2)-pathway model")
     p.add_argument("--model", default="slowfast-HTAH")
@@ -156,14 +166,14 @@ def _common_opts(args):
     return opts
 
 
-def _provider(kind):
+def _provider(kind, densepose_pkl=None):
     if kind == "synthetic":
         from .pipeline import SyntheticIUVProvider
 
         return SyntheticIUVProvider()
     from .detect import DensePoseIUVProvider
 
-    return DensePoseIUVProvider()
+    return DensePoseIUVProvider(weights_pkl=densepose_pkl)
 
 
 def _run_preprocess(args):
@@ -183,9 +193,11 @@ def _run_preprocess(args):
     if "pad" in todo:
         stages.image_to_padded(cfg)
     if "iuv" in todo:
-        stages.padded_to_iuv(cfg, _provider(args.provider), sets=sets)
+        stages.padded_to_iuv(cfg, _provider(args.provider, args.densepose_pkl),
+                             sets=sets)
     if "cse" in todo:
-        stages.padded_to_cse(cfg, _provider(args.provider), sets=sets)
+        stages.padded_to_cse(cfg, _provider(args.provider, args.densepose_pkl),
+                             sets=sets)
     if "crop" in todo:
         stages.iuv_to_crop(cfg, sets=sets)
 
@@ -199,8 +211,9 @@ def _run_v2_convert(args):
     )
 
     cfg = _cfg_for("slowfast-HTAH", args)
-    ConvertVideoToFlow(cfg).convert()
-    ConvertVideoToIUVPkl(cfg, _provider(args.provider)).convert()
+    ConvertVideoToFlow(cfg, method=args.flow_method,
+                       raft_checkpoint=args.raft_checkpoint).convert()
+    ConvertVideoToIUVPkl(cfg, _provider(args.provider, args.densepose_pkl)).convert()
     ConvertIuvPklToUvVideo(cfg).convert()
     ConvertIuvPklToPartBox(cfg).convert()
 
