@@ -211,10 +211,13 @@ def main():
     value = None
     tflops = None
     used = None
-    # Largest-batch-first ladder; remat trades recompute for activation memory
-    # so the reference's flagship batch (55) and beyond fit a 16 GB chip.
+    # Measured roofline (v5e, batch 32): 563 GFLOP/clip, 9.43 GB/clip accessed,
+    # 565 GB/s effective (~69% of peak HBM) — the step is memory-bound, so
+    # larger batches don't raise clips/s; and batch>=48 programs have crashed
+    # the remote compile helper (HTTP 500), as has remat. Keep the ladder to
+    # rungs that compile reliably.
     strategies = [(8, False)] if SMOKE else [
-        (64, False), (64, True), (55, True), (32, False), (16, False), (8, False),
+        (32, False), (16, False), (8, False),
     ]
     for attempt in range(1 if SMOKE else 3):
         for batch, remat in strategies:
