@@ -98,6 +98,16 @@ def main(argv=None):
     p.add_argument("--model", default="slowfast-HTAH")
     _add_opts(p)
 
+    p = sub.add_parser("infer", help="classify a raw gesture video (serving path)")
+    p.add_argument("video", help="RGB (M_*) video file")
+    p.add_argument("--depth", default=None, help="depth (K_*) video file")
+    p.add_argument("--model", default="slowfast-HTAH",
+                   help="stream config (ignored with --ensemble)")
+    p.add_argument("--ensemble", action="store_true",
+                   help="fuse the 5 part streams with the sparse-fusion ckpt")
+    p.add_argument("--top-k", type=int, default=5)
+    _add_opts(p)
+
     p = sub.add_parser("bench", help="run the throughput benchmark")
 
     p = sub.add_parser("tools")
@@ -143,6 +153,19 @@ def main(argv=None):
         from .v2 import V2Trainer
 
         V2Trainer(_cfg_for(args.model, args)).train()
+    elif args.cmd == "infer":
+        if args.ensemble:
+            from .engine import EnsemblePredictor
+
+            pred = EnsemblePredictor(cfg_overrides=_common_opts(args))
+        else:
+            from .engine import Predictor
+
+            pred = Predictor(_cfg_for(args.model, args))
+        y = pred.predict(args.video, args.depth, top_k=args.top_k)
+        print(f"clips scored: {y['clips']}")
+        for rank, (label, prob) in enumerate(y["top"], 1):
+            print(f"#{rank}: class {label}  p={prob:.4f}")
     elif args.cmd == "bench":
         import bench
 

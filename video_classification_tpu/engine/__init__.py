@@ -2,6 +2,7 @@ from .model_manager import ModelManager
 from .trainer import Trainer, TrainState, train_unimportant_parts
 from .checkpoint import save_checkpoint, load_checkpoint, ckpt_dir
 from .sparse import ResultSaver, SparseFusionDataset, SparseTrainer, PART_YAMLS
+from .predictor import Predictor, EnsemblePredictor
 
 __all__ = [
     "ModelManager",
@@ -15,4 +16,6 @@ __all__ = [
     "SparseFusionDataset",
     "SparseTrainer",
     "PART_YAMLS",
+    "Predictor",
+    "EnsemblePredictor",
 ]

@@ -1,0 +1,168 @@
+"""Serving path: raw gesture video -> class probabilities.
+
+The reference has no inference entry point at all — its only outputs are
+training-loop eval printouts (`train.py:287-370`) and the fusion trainer's test
+accuracy (`train_sparse.py:200-244`). This module packages the same math as a
+deployable predictor:
+
+  * :class:`Predictor` — one crop stream: decode the raw M_/K_ video pair, run
+    the fused device preprocessing graph (pipeline/online.py), score every
+    uniform clip window with the stream's best checkpoint, and average clip
+    softmax scores per video (the reference's eval aggregation,
+    train.py:344-364).
+  * :class:`EnsemblePredictor` — the full system: the five part streams of
+    `train_sparse.py:36` fused by the per-class SparseModel mixing layer,
+    restored from the sparse-fusion checkpoint.
+
+Everything device-side is the training stack's own jit programs; no separate
+inference graph to drift.
+"""
+
+from __future__ import annotations
+
+import random as pyrandom
+from pathlib import Path
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config.defaults import load_model_cfg
+from .checkpoint import load_checkpoint
+from .model_manager import ModelManager
+
+MISSING_DEPTH = "__missing_depth__.avi"  # decodes to the 127-fill convention
+
+
+class Predictor:
+    """Single crop-stream predictor over raw videos."""
+
+    def __init__(self, cfg, detector=None, flow_params=None):
+        import functools
+
+        self.cfg = cfg
+        self.mm = ModelManager(cfg)
+        self.model = self.mm.init_model()
+        t = int(cfg.CHALEARN.CLIP_LEN)
+        size = self.mm.crop_size
+        x0 = jnp.zeros((1, t, size, size, 21), jnp.uint8)
+        init = jax.jit(functools.partial(self.model.init, train=False))
+        variables = init(jax.random.PRNGKey(0), self.mm.normalize_and_prepare(x0))
+        self.variables = load_checkpoint(cfg, variables)
+        mm, model = self.mm, self.model
+
+        def eval_step(variables, x):
+            logits = model.apply(variables, mm.normalize_and_prepare(x), train=False)
+            return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+
+        self._eval = jax.jit(eval_step)
+        self._detector = detector
+        self._flow_params = flow_params
+
+    def _dataset(self, m_path, k_path):
+        from ..pipeline.online import (
+            OnlineVideoDataset,
+            flow_params_from_cfg,
+            make_online_detector,
+        )
+
+        if self._detector is None:
+            self._detector = make_online_detector(self.cfg)
+        fp = self._flow_params or flow_params_from_cfg(self.cfg)
+        labels = [(str(m_path), str(k_path or MISSING_DEPTH), 1)]
+        return OnlineVideoDataset(self.cfg, "test", detector=self._detector,
+                                  flow_params=fp, labels=labels)
+
+    def clip_scores(self, m_path, k_path=None) -> np.ndarray:
+        """(n_clips, num_class) softmax scores for every uniform clip window."""
+        ds = self._dataset(m_path, k_path)
+        item = ds.get_eval_clips(0, pyrandom.Random(0))
+        clips = np.stack(item["clips"])  # (n, T, size, size, 21) uint8
+        bs = max(1, int(self.cfg.CHALEARN.BATCH_SIZE))
+        outs = []
+        for start in range(0, clips.shape[0], bs):
+            chunk = clips[start:start + bs]
+            n = chunk.shape[0]
+            if n < bs:  # pad to the compiled batch shape, mask after
+                chunk = np.concatenate([chunk, np.repeat(chunk[:1], bs - n, 0)])
+            scores = np.asarray(self._eval(self.variables, jnp.asarray(chunk)))
+            outs.append(scores[:n])
+        return np.concatenate(outs, axis=0)
+
+    def predict(self, m_path, k_path=None, top_k: int = 5) -> Dict:
+        """Per-video prediction: mean clip score -> ranked classes.
+
+        Returns {'probs': (C,), 'top': [(label_1based, prob), ...]}.
+        """
+        ps = self.clip_scores(m_path, k_path)
+        probs = ps.mean(axis=0)
+        order = np.argsort(-probs)[:top_k]
+        return {
+            "probs": probs,
+            "clips": ps.shape[0],
+            "top": [(int(i) + 1, float(probs[i])) for i in order],
+        }
+
+
+class EnsemblePredictor:
+    """The reference's full system: 5 part streams + per-class sparse fusion."""
+
+    def __init__(self, part_yamls: Optional[Sequence[str]] = None,
+                 cfg_overrides: Optional[List[str]] = None,
+                 detector=None, flow_params=None,
+                 fusion_params=None):
+        from .sparse import PART_YAMLS
+
+        self.part_yamls = list(part_yamls or PART_YAMLS)
+        overrides = list(cfg_overrides or [])
+        self.predictors = []
+        for name in self.part_yamls:
+            cfg = load_model_cfg(name, overrides=overrides)
+            self.predictors.append(Predictor(cfg, detector=detector,
+                                             flow_params=flow_params))
+        self.cfg = self.predictors[0].cfg
+        self._fusion_params = fusion_params
+        self._fusion_model = None
+
+    def _load_fusion(self, num_part: int, num_class: int):
+        from flax import serialization
+
+        from ..models.sparse_fusion import SparseModel
+
+        self._fusion_model = SparseModel(num_class, num_part)
+        if self._fusion_params is not None:
+            return
+        target = self._fusion_model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, num_part, num_class)))["params"]
+        d = Path(self.cfg.CHALEARN.ROOT, self.cfg.MODEL.LOGS, "sparse_fusion_ckpt")
+        ckpts = sorted(d.iterdir()) if d.is_dir() else []
+        if ckpts:
+            print(f"loading fusion checkpoint {ckpts[-1]}")
+            self._fusion_params = serialization.from_bytes(
+                target, ckpts[-1].read_bytes())
+        else:
+            print("warning: no sparse-fusion checkpoint; using uniform mixing")
+            self._fusion_params = jax.tree.map(jnp.ones_like, target)
+
+    def predict(self, m_path, k_path=None, top_k: int = 5) -> Dict:
+        # Part order must match SparseFusionDataset's sorted stacking
+        # (engine/sparse.py:96): sort streams by name before fusing.
+        named = sorted(zip(self.part_yamls, self.predictors), key=lambda x: x[0])
+        ps_list = [p.clip_scores(m_path, k_path) for _, p in named]
+        n = min(p.shape[0] for p in ps_list)
+        x = np.stack([p[:n] for p in ps_list], axis=1)  # (n, P, C)
+        if self._fusion_model is None:
+            self._load_fusion(x.shape[1], x.shape[2])
+        logits = np.asarray(self._fusion_model.apply(
+            {"params": self._fusion_params}, jnp.asarray(x)))
+        probs = jax.nn.softmax(jnp.asarray(logits.mean(axis=0)))
+        probs = np.asarray(probs)
+        order = np.argsort(-probs)[:top_k]
+        return {
+            "probs": probs,
+            "clips": n,
+            "per_stream": {name: float(p[:n].mean(0).max())
+                           for (name, _), p in zip(named, ps_list)},
+            "top": [(int(i) + 1, float(probs[i])) for i in order],
+        }

@@ -160,7 +160,12 @@ class OnlineVideoDataset:
     contract, fed from raw videos through the fused device graph."""
 
     def __init__(self, cfg, name_of_set: str, sampling: Optional[str] = None,
-                 detector=None, flow_params: Optional[FlowParams] = None) -> None:
+                 detector=None, flow_params: Optional[FlowParams] = None,
+                 labels=None) -> None:
+        """``labels`` overrides the label file with explicit (m_rel, k_rel,
+        label) entries — absolute video paths work too (Path join keeps them);
+        the serving path (engine/predictor.py) uses this to run on ad-hoc
+        videos outside any dataset."""
         assert name_of_set in ("train", "test", "valid")
         self.cfg = cfg
         self.name_of_set = name_of_set
@@ -168,7 +173,7 @@ class OnlineVideoDataset:
         self.interval = int(cfg.CHALEARN.IMG_SAMPLE_INTERVAL)
         self.crop_folder = cfg.MODEL.R3D_INPUT
         self.crop_size = crop_resize_dict[self.crop_folder]
-        self.labels = get_labels(cfg, name_of_set)
+        self.labels = labels if labels is not None else get_labels(cfg, name_of_set)
         self.sampling = sampling or ("random" if name_of_set == "train" else "uniform")
         self.detector = detector if detector is not None else make_online_detector(cfg)
         self.flow_params = flow_params or flow_params_from_cfg(cfg)
