@@ -142,3 +142,77 @@ def test_res2d_roundtrip():
         assert set(want) == set(got)
         for path in want:
             np.testing.assert_array_equal(got[path], want[path], err_msg=str(path))
+
+
+def test_fusion_matches_torch_default_and_c123():
+    """FuseFastToSlow vs a torch replica of the reference's module
+    (my_slowfast.py:136-344), weights converted through the fusion key grammar.
+    Covers the default path and C123 (res_unit with its ReLU-before-BN quirk)."""
+    from video_classification_tpu.models.slowfast import FuseFastToSlow
+
+    dim_in, ratio, conv_ratio = 16, 8, 2
+    fast_in = dim_in // ratio           # 2
+    fast_out = fast_in * conv_ratio     # 4
+    fuse_out = dim_in + fast_out        # 20
+
+    torch.manual_seed(0)
+    conv_f2s = nn.Conv3d(fast_in, fast_out, (3, 1, 1), padding=(1, 0, 0), bias=False)
+    norm = nn.BatchNorm3d(fast_out).eval()
+    residual = nn.Conv3d(dim_in, fuse_out, 1, bias=True)
+    ru_conv1 = nn.Conv3d(fuse_out, fuse_out // 4, 1, bias=True)
+    ru_norm1 = nn.BatchNorm3d(fuse_out // 4).eval()
+    ru_conv2 = nn.Conv3d(fuse_out // 4, fuse_out // 4, (1, 3, 3),
+                         padding=(0, 1, 1), bias=True)
+    ru_norm2 = nn.BatchNorm3d(fuse_out // 4).eval()
+    ru_conv3 = nn.Conv3d(fuse_out // 4, fuse_out, 1, bias=True)
+    with torch.no_grad():
+        for m in (norm, ru_norm1, ru_norm2):
+            m.running_mean.normal_(0, 0.5)
+            m.running_var.uniform_(0.5, 1.5)
+            m.weight.normal_(1, 0.2)
+            m.bias.normal_(0, 0.2)
+
+    x_s = torch.randn(2, dim_in, 4, 6, 6)
+    x_f = torch.randn(2, fast_in, 4, 6, 6)
+    with torch.no_grad():
+        fuse = torch.relu(norm(conv_f2s(x_f)))
+        cat = torch.cat([x_s, fuse], dim=1)
+        want_default = cat.numpy()
+        res = torch.relu(residual(x_s))
+        u = ru_norm1(torch.relu(ru_conv1(cat)))
+        u = ru_norm2(torch.relu(ru_conv2(u)))
+        u = ru_conv3(u)
+        want_c123 = (u + res).numpy()
+
+    prefix = "blocks.1.multipathway_fusion."
+    sd = {}
+    for k, v in conv_f2s.state_dict().items():
+        sd[prefix + "conv_fast_to_slow.0." + k] = v.numpy()
+    for k, v in norm.state_dict().items():
+        sd[prefix + "norm.0." + k] = v.numpy()
+    for k, v in residual.state_dict().items():
+        sd[prefix + "residual.0." + k] = v.numpy()
+    for idx, mod in (("0", ru_conv1), ("2", ru_norm1), ("3", ru_conv2),
+                     ("5", ru_norm2), ("6", ru_conv3)):
+        for k, v in mod.state_dict().items():
+            sd[prefix + f"res_unit.{idx}." + k] = v.numpy()
+    variables = torch_to_flax(sd, arch="slowfast")
+    fparams = variables["params"]["blocks_1_fuse"]
+    fstats = variables["batch_stats"]["blocks_1_fuse"]
+
+    xs = [jnp.asarray(x_s.numpy().transpose(0, 2, 3, 4, 1)),
+          jnp.asarray(x_f.numpy().transpose(0, 2, 3, 4, 1))]
+
+    for mode, want in (("default", want_default), ("C123", want_c123)):
+        model = FuseFastToSlow(fusion_dim_in=dim_in, reduction_ratio=ratio,
+                               conv_ratio=conv_ratio, mode=mode)
+        # default mode materializes no residual/res_unit params: filter them.
+        if mode == "default":
+            p = {k: v for k, v in fparams.items()
+                 if k in ("conv_fast_to_slow", "norm")}
+            s = {k: v for k, v in fstats.items() if k == "norm"}
+        else:
+            p, s = fparams, fstats
+        out, _ = model.apply({"params": p, "batch_stats": s}, xs, False)
+        got = np.asarray(out).transpose(0, 4, 1, 2, 3)
+        np.testing.assert_allclose(got, want, atol=5e-3, rtol=5e-3)
