@@ -19,21 +19,30 @@ def _bilinear_sample(feat: jnp.ndarray, ys: jnp.ndarray, xs: jnp.ndarray) -> jnp
     """Sample feat (H, W, C) at float coords (ys, xs) of any shape -> (..., C).
 
     Out-of-range coordinates clamp to the border (ROIAlign convention for
-    sampling points outside the feature map).
+    sampling points outside the feature map). TPU formulation: the 2x2 corner
+    patch is packed into the channel dim and fetched with ONE contiguous
+    row gather — XLA lowers per-point fancy indexing to a slow generic gather
+    (same fix as ops/flow._warp_bilinear; ~4x on v5e).
     """
-    h, w, _ = feat.shape
+    h, w, c = feat.shape
     ys = jnp.clip(ys, 0.0, h - 1.0)
     xs = jnp.clip(xs, 0.0, w - 1.0)
-    y0 = jnp.floor(ys).astype(jnp.int32)
-    x0 = jnp.floor(xs).astype(jnp.int32)
-    y1 = jnp.minimum(y0 + 1, h - 1)
-    x1 = jnp.minimum(x0 + 1, w - 1)
+    # Base corner clamped to h-2/w-2: at the border the fractional weight is 1
+    # and selects the last row/col — identical to min(y0+1, h-1).
+    y0 = jnp.minimum(jnp.floor(ys).astype(jnp.int32), max(h - 2, 0))
+    x0 = jnp.minimum(jnp.floor(xs).astype(jnp.int32), max(w - 2, 0))
     wy = (ys - y0)[..., None]
     wx = (xs - x0)[..., None]
-    v00 = feat[y0, x0]
-    v01 = feat[y0, x1]
-    v10 = feat[y1, x0]
-    v11 = feat[y1, x1]
+    right = jnp.concatenate([feat[:, 1:], feat[:, -1:]], axis=1)
+    down = jnp.concatenate([feat[1:], feat[-1:]], axis=0)
+    down_right = jnp.concatenate([right[1:], right[-1:]], axis=0)
+    packed = jnp.concatenate([feat, right, down, down_right], axis=-1)
+    shape = jnp.broadcast_shapes(y0.shape, x0.shape)
+    flat = (y0 * w + x0).reshape(-1) if y0.shape == x0.shape else (
+        jnp.broadcast_to(y0 * w + x0, shape).reshape(-1))
+    g = jnp.take(packed.reshape(h * w, 4 * c), flat, axis=0)
+    g = g.reshape(shape + (4, c))
+    v00, v01, v10, v11 = g[..., 0, :], g[..., 1, :], g[..., 2, :], g[..., 3, :]
     return (
         v00 * (1 - wy) * (1 - wx)
         + v01 * (1 - wy) * wx

@@ -163,18 +163,25 @@ def lookup(pyramid, coords: jnp.ndarray, radius: int = 4) -> jnp.ndarray:
         pts = ctr[:, None, :] + window[None, :, :]  # (NHW, K, 2)
         x = jnp.clip(pts[..., 0], 0.0, wl - 1.0)
         y = jnp.clip(pts[..., 1], 0.0, hl - 1.0)
-        x0 = jnp.floor(x).astype(jnp.int32)
-        y0 = jnp.floor(y).astype(jnp.int32)
-        x1 = jnp.minimum(x0 + 1, wl - 1)
-        y1 = jnp.minimum(y0 + 1, hl - 1)
+        # Packed-corner single gather (see ops/flow._warp_bilinear): XLA lowers
+        # four per-point fancy-index gathers to slow generic gathers.
+        x0 = jnp.minimum(jnp.floor(x).astype(jnp.int32), max(wl - 2, 0))
+        y0 = jnp.minimum(jnp.floor(y).astype(jnp.int32), max(hl - 2, 0))
         wx = x - x0
         wy = y - y0
-        bidx = jnp.arange(n * h * w)[:, None]
+        right = jnp.concatenate([c[:, :, 1:], c[:, :, -1:]], axis=2)
+        down = jnp.concatenate([c[:, 1:], c[:, -1:]], axis=1)
+        down_right = jnp.concatenate([right[:, 1:], right[:, -1:]], axis=1)
+        packed = jnp.stack([c, right, down, down_right], axis=-1)
+        flat = y0 * wl + x0  # (NHW, K)
+        g = jnp.take_along_axis(
+            packed.reshape(n * h * w, hl * wl, 4), flat[..., None], axis=1
+        )  # (NHW, K, 4)
         v = (
-            c[bidx, y0, x0] * (1 - wy) * (1 - wx)
-            + c[bidx, y0, x1] * (1 - wy) * wx
-            + c[bidx, y1, x0] * wy * (1 - wx)
-            + c[bidx, y1, x1] * wy * wx
+            g[..., 0] * (1 - wy) * (1 - wx)
+            + g[..., 1] * (1 - wy) * wx
+            + g[..., 2] * wy * (1 - wx)
+            + g[..., 3] * wy * wx
         )
         outs.append(v.reshape(n, h, w, -1))
     return jnp.concatenate(outs, axis=-1)
