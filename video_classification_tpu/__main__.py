@@ -58,6 +58,9 @@ def main(argv=None):
     p.add_argument("models", nargs="+", help="config names, e.g. slowfast-Torso")
     p.add_argument("--warmstart", default=None,
                    help="torch .pyth/.ckpt pickle for the tier-3 Kinetics warm start")
+    p.add_argument("--profile", default=None, metavar="DIR",
+                   help="capture a device trace of one warm epoch to DIR "
+                        "(TensorBoard-loadable) before training starts")
     _add_opts(p)
 
     p = sub.add_parser("train-parts", help="train the 8 extra crop streams")
@@ -126,7 +129,15 @@ def main(argv=None):
 
         warm = Path(args.warmstart) if args.warmstart else None
         for name in args.models:  # sequential multi-config loop (train.py:408-415)
-            Trainer(_cfg_for(name, args), torch_warmstart=warm).train()
+            trainer = Trainer(_cfg_for(name, args), torch_warmstart=warm)
+            if args.profile:
+                from .utils.profiling import trace
+
+                # One traced epoch (first run also captures compilation);
+                # training then proceeds normally from the same state.
+                with trace(Path(args.profile)):
+                    trainer.train_epoch(0)
+            trainer.train()
     elif args.cmd == "train-parts":
         from .engine import train_unimportant_parts
 
