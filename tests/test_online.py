@@ -105,3 +105,19 @@ def test_flow_pair_chunk_matches_unchunked():
     full = np.asarray(video_flow_uint8(jnp.asarray(frames), p))
     chunked = np.asarray(video_flow_uint8(jnp.asarray(frames), p, pair_chunk=3))
     np.testing.assert_array_equal(full, chunked)
+
+
+@pytest.mark.slow
+def test_online_densepose_detector_leg(tmp_path):
+    """The in-graph detector variant of the online path produces valid clips
+    (untrained weights -> arbitrary detections; the contract is shape/flow)."""
+    from video_classification_tpu.pipeline.online import DensePoseOnlineDetector
+
+    cfg = _online_cfg(tmp_path, num_frames=10)
+    det = DensePoseOnlineDetector(cfg, depth=50, pre_nms_topk=32,
+                                  post_nms_topk=8, max_detections=2,
+                                  chart_pooler_size=14)
+    ds = OnlineVideoDataset(cfg, "train", detector=det)
+    item = ds.get_train_clip(0, random.Random(0))
+    assert item["x"].shape == (2, 64, 64, 21)
+    assert item["x"].dtype == np.uint8
