@@ -155,3 +155,17 @@ def test_densepose_rcnn_contract():
     assert out["u"].shape == (4, 56, 56)
     assert int(out["charts"].max()) <= 24
     assert float(out["u"].min()) >= 0.0 and float(out["u"].max()) <= 1.0
+
+
+@pytest.mark.slow
+def test_densepose_rcnn_odd_size_input():
+    """Inputs not divisible by the FPN stride pad bottom-right (detectron2
+    ImageList semantics); boxes clip to the true frame."""
+    model = DensePoseRCNN(depth=50, pre_nms_topk=32, post_nms_topk=8,
+                          max_detections=2, chart_pooler_size=14)
+    img = jnp.asarray(np.random.RandomState(0).randn(100, 172, 3).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), img, train=False)
+    out = jax.jit(lambda v, x: model.apply(v, x, train=False))(variables, img)
+    assert out["boxes"].shape == (2, 4)
+    assert float(out["boxes"][:, 2].max()) <= 172.0
+    assert float(out["boxes"][:, 3].max()) <= 100.0

@@ -368,6 +368,12 @@ class DensePoseRCNN(nn.Module):
     def __call__(self, image, train: bool = False):
         """image: (H, W, 3) float32 (BGR, mean-subtracted). Returns detections."""
         h, w = image.shape[:2]
+        # detectron2 ImageList.from_tensors pads bottom-right to the backbone's
+        # size divisibility (64 with P6) so FPN/decoder 2x up-sums align at any
+        # input size; detections are clipped back to the true (h, w) below.
+        ph, pw = -h % 64, -w % 64
+        if ph or pw:
+            image = jnp.pad(image, ((0, ph), (0, pw), (0, 0)))
         feats = self.backbone(image[None], train)  # [P2..P6]
         strides = [4, 8, 16, 32, 64]
         scales = [32.0, 64.0, 128.0, 256.0, 512.0]
