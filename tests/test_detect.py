@@ -169,3 +169,50 @@ def test_densepose_rcnn_odd_size_input():
     assert out["boxes"].shape == (2, 4)
     assert float(out["boxes"][:, 2].max()) <= 172.0
     assert float(out["boxes"][:, 3].max()) <= 100.0
+
+
+def test_multilevel_roi_align_matches_per_level_select():
+    """Flat-pyramid ROIAlign == pool-every-level + take_along_axis selection."""
+    from video_classification_tpu.detect.ops import multilevel_roi_align
+
+    rng = np.random.RandomState(3)
+    feats = [jnp.asarray(rng.rand(1, 32 // (2 ** i), 48 // (2 ** i), 5)
+                         .astype(np.float32)) for i in range(4)]
+    strides = [4, 8, 16, 32]
+    # Box sizes spanning all levels (level = floor(4 + log2(sqrt(wh)/224))).
+    boxes = jnp.asarray([
+        [4.0, 4.0, 40.0, 40.0],       # tiny -> P2
+        [0.0, 0.0, 120.0, 100.0],     # -> P3-ish
+        [0.0, 0.0, 190.0, 190.0],     # ~canonical -> P4
+        [0.0, 0.0, 1000.0, 900.0],    # huge -> P5
+    ], jnp.float32)
+
+    got = np.asarray(multilevel_roi_align(feats, boxes, 7))
+
+    pooled = [np.asarray(roi_align(f[0], boxes, 7, 1.0 / s))
+              for f, s in zip(feats, strides)]
+    bw = np.maximum(np.asarray(boxes)[:, 2] - np.asarray(boxes)[:, 0], 1.0)
+    bh = np.maximum(np.asarray(boxes)[:, 3] - np.asarray(boxes)[:, 1], 1.0)
+    level = np.clip(np.floor(2 + np.log2(np.sqrt(bw * bh) / 224.0 + 1e-9)) + 2,
+                    0, 3).astype(int)
+    want = np.stack([pooled[level[i]][i] for i in range(4)])
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_nms_pallas_matches_xla():
+    """VMEM NMS kernel (interpret mode on CPU) == the XLA fixed-trip NMS."""
+    rng = np.random.RandomState(7)
+    n = 64
+    centers = rng.rand(n, 2) * 60
+    sizes = 5 + rng.rand(n, 2) * 20
+    boxes = np.concatenate([centers - sizes / 2, centers + sizes / 2], 1).astype(np.float32)
+    scores = rng.rand(n).astype(np.float32)
+    for max_out, thr in ((16, 0.5), (n, 0.7)):
+        want_idx, want_mask = nms(jnp.asarray(boxes), jnp.asarray(scores),
+                                  max_out, thr, backend="xla")
+        got_idx, got_mask = nms(jnp.asarray(boxes), jnp.asarray(scores),
+                                max_out, thr, backend="pallas_interpret")
+        np.testing.assert_array_equal(np.asarray(got_mask), np.asarray(want_mask))
+        np.testing.assert_array_equal(
+            np.asarray(got_idx)[np.asarray(want_mask)],
+            np.asarray(want_idx)[np.asarray(want_mask)])

@@ -1,4 +1,4 @@
-from .ops import roi_align, nms, box_iou, apply_deltas, clip_boxes
+from .ops import roi_align, multilevel_roi_align, nms, box_iou, apply_deltas, clip_boxes
 from .densepose import (
     ASPP,
     BoxHead,
@@ -21,6 +21,7 @@ from .provider import DensePoseIUVProvider
 
 __all__ = [
     "roi_align",
+    "multilevel_roi_align",
     "nms",
     "box_iou",
     "apply_deltas",

@@ -38,7 +38,7 @@ import jax.numpy as jnp
 
 from ..models.layers import batch_norm
 from ..models.resnet2d import Bottleneck2d, _conv2d
-from .ops import apply_deltas, clip_boxes, nms, roi_align
+from .ops import apply_deltas, clip_boxes, multilevel_roi_align, nms, roi_align
 
 NUM_CHARTS = 24  # DensePose body charts 1..24; 0 = background
 RESNET_DEPTHS = {50: (3, 4, 6, 3), 101: (3, 4, 23, 3)}
@@ -450,18 +450,8 @@ class DensePoseRCNN(nn.Module):
         }
 
     def _multilevel_roi(self, feats, boxes, out_size: int) -> jnp.ndarray:
-        """FPN level assignment (Lin et al.: k = k0 + log2(sqrt(wh)/224)) realized
-        as a per-box select over the 4 levels' ROIAlign outputs."""
-        strides = [4, 8, 16, 32]
-        pooled = [
-            roi_align(f[0], boxes, out_size, 1.0 / s)
-            for f, s in zip(feats, strides)
-        ]
-        stacked = jnp.stack(pooled)  # (4, N, out, out, C)
-        bw = jnp.maximum(boxes[:, 2] - boxes[:, 0], 1.0)
-        bh = jnp.maximum(boxes[:, 3] - boxes[:, 1], 1.0)
-        k = jnp.floor(2 + jnp.log2(jnp.sqrt(bw * bh) / 224.0 + 1e-9)) + 2
-        level = jnp.clip(k, 0, 3).astype(jnp.int32)  # 0->P2 ... 3->P5
-        return jnp.take_along_axis(
-            stacked, level[None, :, None, None, None], axis=0
-        )[0]
+        """FPN level assignment (Lin et al.: k = k0 + log2(sqrt(wh)/224)):
+        each box pools only its assigned level via the flattened-pyramid
+        ROIAlign (detect/ops.multilevel_roi_align) — 4x fewer gathered bytes
+        than pooling every level and selecting."""
+        return multilevel_roi_align(feats, boxes, out_size)

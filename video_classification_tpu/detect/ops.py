@@ -89,6 +89,93 @@ def roi_align(
     return jax.vmap(one_box)(boxes_xyxy.astype(jnp.float32))
 
 
+def multilevel_roi_align(
+    feats,
+    boxes_xyxy: jnp.ndarray,
+    output_size: int,
+    strides=(4, 8, 16, 32),
+    sampling_ratio: int = 2,
+    canonical_level: int = 2,
+) -> jnp.ndarray:
+    """FPN ROIAlign with per-box level assignment over a flattened pyramid.
+
+    feats: list of (1, H_l, W_l, C) maps (P2..P5). Each box samples ONLY its
+    assigned level (Lin et al.: k = k0 + log2(sqrt(wh)/224)); the naive
+    alternative — pooling every level then selecting — gathers 4x the bytes,
+    which profiling showed dominated detector latency. Levels are flattened
+    into one (sum H*W, 4C) corner-packed buffer so the per-box level becomes
+    pure index arithmetic feeding a single contiguous gather.
+
+    Bit-identical to roi_align(level) + take_along_axis selection (tested).
+    """
+    import numpy as np
+
+    c = feats[0].shape[-1]
+    n_levels = len(feats)
+    packed_levels = []
+    for f in feats:
+        x = f[0]
+        right = jnp.concatenate([x[:, 1:], x[:, -1:]], axis=1)
+        down = jnp.concatenate([x[1:], x[-1:]], axis=0)
+        down_right = jnp.concatenate([right[1:], right[-1:]], axis=0)
+        packed_levels.append(
+            jnp.concatenate([x, right, down, down_right], axis=-1).reshape(-1, 4 * c))
+    flat = jnp.concatenate(packed_levels, axis=0)
+    hs_np = [f.shape[1] for f in feats]
+    ws_np = [f.shape[2] for f in feats]
+    offs_np = np.cumsum([0] + [h * w for h, w in zip(hs_np, ws_np)])[:-1]
+    hs = jnp.asarray(hs_np, jnp.int32)
+    ws = jnp.asarray(ws_np, jnp.int32)
+    offs = jnp.asarray(offs_np, jnp.int32)
+    inv_strides = jnp.asarray([1.0 / s for s in strides], jnp.float32)
+
+    boxes = boxes_xyxy.astype(jnp.float32)
+    bw = jnp.maximum(boxes[:, 2] - boxes[:, 0], 1.0)
+    bh = jnp.maximum(boxes[:, 3] - boxes[:, 1], 1.0)
+    k = jnp.floor(canonical_level + jnp.log2(jnp.sqrt(bw * bh) / 224.0 + 1e-9)) + 2
+    level = jnp.clip(k, 0, n_levels - 1).astype(jnp.int32)  # (N,)
+
+    scale = inv_strides[level]                       # (N,)
+    lh = hs[level]
+    lw = ws[level]
+    loff = offs[level]
+
+    nboxes = boxes.shape[0]
+    s = output_size * sampling_ratio
+    grid = (jnp.arange(output_size)[:, None]
+            + (jnp.arange(sampling_ratio)[None, :] + 0.5) / sampling_ratio
+            ).reshape(-1)                            # (s,)
+    x1 = boxes[:, 0] * scale
+    y1 = boxes[:, 1] * scale
+    bin_w = jnp.maximum((boxes[:, 2] - boxes[:, 0]) * scale, 1e-6) / output_size
+    bin_h = jnp.maximum((boxes[:, 3] - boxes[:, 1]) * scale, 1e-6) / output_size
+    ys = y1[:, None] + grid[None, :] * bin_h[:, None] - 0.5   # (N, s)
+    xs = x1[:, None] + grid[None, :] * bin_w[:, None] - 0.5
+    ys = jnp.clip(ys, 0.0, (lh - 1).astype(jnp.float32)[:, None])
+    xs = jnp.clip(xs, 0.0, (lw - 1).astype(jnp.float32)[:, None])
+    y0 = jnp.minimum(jnp.floor(ys).astype(jnp.int32),
+                     jnp.maximum(lh - 2, 0)[:, None])
+    x0 = jnp.minimum(jnp.floor(xs).astype(jnp.int32),
+                     jnp.maximum(lw - 2, 0)[:, None])
+    wy = ys - y0                                      # (N, s)
+    wx = xs - x0
+
+    idx = (loff[:, None, None] + y0[:, :, None] * lw[:, None, None]
+           + x0[:, None, :])                          # (N, s, s)
+    g = jnp.take(flat, idx.reshape(-1), axis=0).reshape(nboxes, s, s, 4, c)
+    wy_ = wy[:, :, None, None]
+    wx_ = wx[:, None, :, None]
+    samples = (
+        g[..., 0, :] * (1 - wy_) * (1 - wx_)
+        + g[..., 1, :] * (1 - wy_) * wx_
+        + g[..., 2, :] * wy_ * (1 - wx_)
+        + g[..., 3, :] * wy_ * wx_
+    )
+    samples = samples.reshape(nboxes, output_size, sampling_ratio,
+                              output_size, sampling_ratio, c)
+    return samples.mean(axis=(2, 4))
+
+
 def box_iou(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """Pairwise IoU of xyxy boxes: (N, 4) x (M, 4) -> (N, M)."""
     area_a = jnp.maximum(a[:, 2] - a[:, 0], 0) * jnp.maximum(a[:, 3] - a[:, 1], 0)
@@ -101,16 +188,27 @@ def box_iou(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return inter / jnp.maximum(union, 1e-9)
 
 
-@functools.partial(jax.jit, static_argnums=(2,))
+@functools.partial(jax.jit, static_argnums=(2, 3, 4))
 def nms(
-    boxes_xyxy: jnp.ndarray, scores: jnp.ndarray, max_out: int, iou_threshold: float = 0.5
+    boxes_xyxy: jnp.ndarray, scores: jnp.ndarray, max_out: int,
+    iou_threshold: float = 0.5, backend: str = "auto",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Greedy NMS with a static output count.
 
     Returns (keep_indices (max_out,) int32, keep_mask (max_out,) bool). Suppressed
     slots repeat index 0 with mask False. Fixed-trip fori_loop — no data-dependent
     shapes, so it compiles once and fuses into the detector graph.
+
+    On TPU ('auto') the VMEM-resident Pallas kernel (detect/pallas_nms.py) runs
+    instead: on-the-fly IoU rows drop the O(N^2) matrix and the per-iteration
+    HBM round-trips. 'xla' | 'pallas' | 'pallas_interpret' force a choice.
     """
+    if backend in ("pallas", "pallas_interpret") or (
+            backend == "auto" and jax.default_backend() == "tpu"):
+        from .pallas_nms import nms_pallas
+
+        return nms_pallas(boxes_xyxy, scores, max_out, iou_threshold,
+                          interpret=(backend == "pallas_interpret"))
     n = boxes_xyxy.shape[0]
     iou = box_iou(boxes_xyxy, boxes_xyxy)
     neg_inf = jnp.finfo(jnp.float32).min
