@@ -187,3 +187,27 @@ def test_coverage_report_flags_gaps():
     report = coverage_report(sd, 50)
     assert report["missing"] == ["roi_heads.box_head.fc1.weight"]
     assert report["unexpected"] == ["made.up.key"]
+
+
+@pytest.mark.slow
+def test_converted_variables_drive_the_provider(tmp_path):
+    """Converted (synthesized) weights load into the live inference graph: the
+    provider runs the full detect path with them — the exact deployment wiring
+    of `preprocess --densepose-pkl`."""
+    from video_classification_tpu.detect import DensePoseIUVProvider
+
+    sd = synthesize_state_dict(depth=50, seed=11)
+    pkl = tmp_path / "model_final_fake.pkl"
+    with pkl.open("wb") as f:
+        pickle.dump({"model": sd}, f)
+    provider = DensePoseIUVProvider(
+        weights_pkl=str(pkl), depth=50, pre_nms_topk=32, post_nms_topk=8,
+        max_detections=2, chart_pooler_size=14, min_size=0,
+        compute_dtype="float32")
+    frames = (np.random.RandomState(0).rand(1, 64, 96, 3) * 255).astype(np.uint8)
+    out = provider.detect(frames, ["f0"])
+    assert len(out) == 1
+    det = out[0]
+    assert det.boxes_xyxy.shape[1] == 4 if det.boxes_xyxy.size else True
+    if det.boxes_xyxy.shape[0]:
+        assert det.uv.min() >= 0.0 and det.uv.max() <= 1.0
