@@ -1,0 +1,74 @@
+"""Stream-parallel training on disjoint sub-meshes of the virtual device grid."""
+
+import jax
+import numpy as np
+
+from video_classification_tpu.config import get_cfg
+from video_classification_tpu.engine import (
+    Trainer,
+    assign_device_groups,
+    train_streams_parallel,
+)
+
+
+def test_assign_device_groups_disjoint(devices):
+    groups = assign_device_groups(devices, n_streams=4, devices_per_stream=2)
+    assert len(groups) == 4
+    ids = [d.id for g in groups for d in g]
+    assert len(set(ids)) == 8  # 4 streams x 2 devices, all distinct
+    # Over-capacity: groups wrap and time-share.
+    groups = assign_device_groups(devices, n_streams=5, devices_per_stream=2)
+    assert [d.id for d in groups[4]] == [d.id for d in groups[0]]
+
+
+def test_train_streams_parallel(devices, tmp_path):
+    def cfg_factory(name):
+        cfg = get_cfg()
+        cfg.CHALEARN.ROOT = str(tmp_path)
+        cfg.CHALEARN.NUM_CLASS = 2
+        cfg.CHALEARN.CLIP_LEN = 2
+        cfg.CHALEARN.BATCH_SIZE = 2
+        cfg.MODEL.DEPTH = 18
+        cfg.MODEL.NAME = "slowfast-" + name
+        cfg.MODEL.R3D_INPUT = "CropLHand"
+        cfg.TPU.COMPUTE_DTYPE = "float32"
+        cfg.DEBUG = True  # 1 batch/epoch, 3 epochs, no ckpt writes
+        cfg.DATA.SYNTHETIC_NUM_VIDEOS = 4
+        cfg.DATA.SYNTHETIC_SEQ_LEN = 4
+        return cfg
+
+    results = train_streams_parallel(
+        ["a", "b"], devices_per_stream=2, cfg_factory=cfg_factory)
+    assert set(results) == {"a", "b"}
+    for acc in results.values():
+        assert 0.0 <= acc <= 1.0
+
+
+def test_stream_meshes_are_disjoint(devices, tmp_path):
+    """Each stream's Trainer really runs on its own devices."""
+    seen = {}
+
+    def cfg_factory(name):
+        cfg = get_cfg()
+        cfg.CHALEARN.ROOT = str(tmp_path)
+        cfg.CHALEARN.NUM_CLASS = 2
+        cfg.CHALEARN.CLIP_LEN = 2
+        cfg.CHALEARN.BATCH_SIZE = 2
+        cfg.MODEL.DEPTH = 18
+        cfg.MODEL.NAME = "slowfast-" + name
+        cfg.MODEL.R3D_INPUT = "CropLHand"
+        cfg.TPU.COMPUTE_DTYPE = "float32"
+        cfg.DEBUG = True
+        cfg.DATA.SYNTHETIC_NUM_VIDEOS = 4
+        cfg.DATA.SYNTHETIC_SEQ_LEN = 4
+        return cfg
+
+    class SpyTrainer(Trainer):
+        def train(self):
+            seen[self.cfg.MODEL.NAME] = sorted(d.id for d in self.mesh.devices.flat)
+            return super().train()
+
+    train_streams_parallel(["a", "b"], devices_per_stream=2,
+                           cfg_factory=cfg_factory,
+                           trainer_factory=lambda cfg, mesh: SpyTrainer(cfg, mesh=mesh))
+    assert not (set(seen["slowfast-a"]) & set(seen["slowfast-b"]))

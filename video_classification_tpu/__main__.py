@@ -66,6 +66,12 @@ def main(argv=None):
     p = sub.add_parser("train-parts", help="train the 8 extra crop streams")
     _add_opts(p)
 
+    p = sub.add_parser("train-parallel",
+                       help="train streams concurrently, one per device group")
+    p.add_argument("models", nargs="+", help="config names, e.g. the 6 streams")
+    p.add_argument("--devices-per-stream", type=int, default=1)
+    _add_opts(p)
+
     p = sub.add_parser("eval", help="run uniform-sampling eval for a config")
     p.add_argument("model")
     _add_opts(p)
@@ -143,6 +149,14 @@ def main(argv=None):
 
         cfg = _cfg_for("slowfast-HTAH", args)
         train_unimportant_parts(cfg_base=cfg)
+    elif args.cmd == "train-parallel":
+        from .engine import train_streams_parallel
+
+        results = train_streams_parallel(
+            args.models, cfg_overrides=_common_opts(args),
+            devices_per_stream=args.devices_per_stream)
+        for name, acc in results.items():
+            print(f"{name}: best acc {acc:.4f}")
     elif args.cmd == "eval":
         from .engine import Trainer
 

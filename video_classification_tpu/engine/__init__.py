@@ -3,6 +3,7 @@ from .trainer import Trainer, TrainState, train_unimportant_parts
 from .checkpoint import save_checkpoint, load_checkpoint, ckpt_dir
 from .sparse import ResultSaver, SparseFusionDataset, SparseTrainer, PART_YAMLS
 from .predictor import Predictor, EnsemblePredictor
+from .parallel_streams import train_streams_parallel, assign_device_groups
 
 __all__ = [
     "ModelManager",
@@ -18,4 +19,6 @@ __all__ = [
     "PART_YAMLS",
     "Predictor",
     "EnsemblePredictor",
+    "train_streams_parallel",
+    "assign_device_groups",
 ]

@@ -216,7 +216,18 @@ def preprocess_clip_on_device(
             outs[folder + "_valid"] = valid & det_ok
         return outs
 
-    # lax.map (not vmap): frames run sequentially, bounding peak HBM to one
-    # frame's canvases; each frame still exposes ample intra-op parallelism.
-    stacked = jax.lax.map(per_frame, jnp.arange(s))
+    # Chunked map: lax.map over chunks of vmapped frames — sequential chunks
+    # bound peak HBM to `frame_chunk` canvases while each chunk still fills
+    # the chip (a pure per-frame lax.map left the VPU latency-bound on small
+    # ops; pure vmap would hold every frame's ~100 MB canvas set at once).
+    frame_chunk = min(4, s)
+    n_chunks = -(-s // frame_chunk)
+    pad = n_chunks * frame_chunk - s
+    frame_ids = jnp.arange(s)
+    if pad:
+        frame_ids = jnp.concatenate([frame_ids, jnp.zeros((pad,), jnp.int32)])
+    frame_ids = frame_ids.reshape(n_chunks, frame_chunk)
+    stacked = jax.lax.map(jax.vmap(per_frame), frame_ids)
+    stacked = jax.tree.map(
+        lambda a: a.reshape((n_chunks * frame_chunk,) + a.shape[2:])[:s], stacked)
     return stacked
