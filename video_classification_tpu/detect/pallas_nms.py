@@ -20,6 +20,7 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 _NEG = -3.0e38  # python float: jnp constants would be captured tracers
 
@@ -84,8 +85,12 @@ def nms_pallas(boxes_xyxy: jnp.ndarray, scores: jnp.ndarray,
     idx, mask = pl.pallas_call(
         kernel,
         out_shape=[jax.ShapeDtypeStruct((1, max_out), jnp.int32)] * 2,
-        in_specs=[pl.BlockSpec((1, n), lambda: (0, 0)) for _ in range(5)],
-        out_specs=[pl.BlockSpec((1, max_out), lambda: (0, 0)) for _ in range(2)],
+        # memory_space=VMEM is load-bearing: the default (compiler-chosen)
+        # space lands in HBM and every suppression round round-trips it.
+        in_specs=[pl.BlockSpec((1, n), lambda: (0, 0),
+                               memory_space=pltpu.VMEM) for _ in range(5)],
+        out_specs=[pl.BlockSpec((1, max_out), lambda: (0, 0),
+                                memory_space=pltpu.VMEM) for _ in range(2)],
         interpret=interpret,
     )(*rows)
     return idx[0], mask[0].astype(bool)

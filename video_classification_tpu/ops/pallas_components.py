@@ -20,6 +20,7 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 _VMEM_BUDGET_BYTES = 12 * 1024 * 1024
 
@@ -77,8 +78,12 @@ def label_components_pallas(
     kernel = functools.partial(_cc_kernel, n_iters)
     grid_spec = pl.GridSpec(
         grid=(b,),
-        in_specs=[pl.BlockSpec((1, h, w), lambda i: (i, 0, 0))],
-        out_specs=pl.BlockSpec((1, h, w), lambda i: (i, 0, 0)),
+        # memory_space=VMEM is load-bearing: the default (compiler-chosen)
+        # space lands in HBM and every propagation sweep round-trips it.
+        in_specs=[pl.BlockSpec((1, h, w), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, h, w), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
     )
     return pl.pallas_call(
         kernel,
