@@ -216,3 +216,51 @@ def test_nms_pallas_matches_xla():
         np.testing.assert_array_equal(
             np.asarray(got_idx)[np.asarray(want_mask)],
             np.asarray(want_idx)[np.asarray(want_mask)])
+
+
+def test_provider_batched_matches_single():
+    """detect() in vmapped chunks == frame-by-frame inference (same weights,
+    same frames), including the padded last chunk."""
+    from video_classification_tpu.detect import DensePoseIUVProvider
+
+    rng = np.random.RandomState(0)
+    images = rng.randint(0, 256, (5, 64, 64, 3), np.uint8)
+    names = [f"f{i}" for i in range(5)]
+    kw = dict(depth=50, pre_nms_topk=32, post_nms_topk=8, max_detections=2,
+              chart_pooler_size=14, min_size=0, compute_dtype="float32")
+    p1 = DensePoseIUVProvider(batch_size=1, **kw)
+    d1 = p1.detect(images, names)
+    p2 = DensePoseIUVProvider(batch_size=4, **kw)  # 5 = chunk of 4 + padded 1
+    p2.variables = p1.variables  # same random init
+    d2 = p2.detect(images, names)
+    assert len(d1) == len(d2) == 5
+    for a, b in zip(d1, d2):
+        np.testing.assert_allclose(a.boxes_xyxy, b.boxes_xyxy, atol=1e-4)
+        np.testing.assert_allclose(a.scores, b.scores, atol=1e-5)
+        # Box ints can flip by 1 ULP at int() boundaries; compare field
+        # content only when the rasterized sizes agree.
+        if a.labels.size and a.labels.shape == b.labels.shape:
+            assert (a.labels == b.labels).mean() > 0.99  # argmax tie-breaks
+            np.testing.assert_allclose(a.uv, b.uv, atol=1e-3)
+
+
+def test_online_densepose_detector_batched(tmp_path):
+    """DensePoseOnlineDetector chunked-vmap path == per-frame path."""
+    from video_classification_tpu.config import get_cfg
+    from video_classification_tpu.pipeline.online import DensePoseOnlineDetector
+
+    cfg = get_cfg()
+    cfg.CHALEARN.ROOT = str(tmp_path)
+    rng = np.random.RandomState(1)
+    frames = rng.randint(0, 256, (3, 64, 64, 3), np.uint8)
+    kw = dict(depth=50, pre_nms_topk=32, post_nms_topk=8, max_detections=2,
+              chart_pooler_size=14)
+    det1 = DensePoseOnlineDetector(cfg, **kw, batch_size=1)
+    out1 = det1(frames)
+    det2 = DensePoseOnlineDetector(cfg, **kw, batch_size=2)
+    det2.variables = det1.variables
+    out2 = det2(frames)
+    np.testing.assert_allclose(np.asarray(out1.boxes_xyxy),
+                               np.asarray(out2.boxes_xyxy), atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(out1.valid), np.asarray(out2.valid))
+    np.testing.assert_allclose(np.asarray(out1.uv), np.asarray(out2.uv), atol=1e-4)

@@ -45,6 +45,7 @@ class DensePoseIUVProvider:
         max_size: int = 1333,
         weights_pkl: Optional[str] = None,
         compute_dtype: str = "auto",
+        batch_size: int = 8,
     ):
         # 'auto': bfloat16 on TPU (MXU-native; ~15% faster inference, detection
         # quality unaffected at uint8-image precision), float32 elsewhere.
@@ -67,8 +68,18 @@ class DensePoseIUVProvider:
         self.min_size = min_size
         self.max_size = max_size
         self._rng_seed = rng_seed
+        # Frames are detected in fixed-size batches: vmap over the (static-
+        # shape) single-image graph batches every conv/head onto the MXU and
+        # replaces per-frame host<->device round trips with one per chunk —
+        # the dominant cost of the per-frame loop on a remote-tunnel device.
+        self.batch_size = max(1, int(batch_size))
         self._apply = jax.jit(
             lambda variables, img: self.model.apply(variables, img, train=False)
+        )
+        self._apply_batch = jax.jit(
+            lambda variables, imgs: jax.vmap(
+                lambda im: self.model.apply(variables, im, train=False)
+            )(imgs)
         )
 
     def _ensure_variables(self, image: np.ndarray):
@@ -92,13 +103,40 @@ class DensePoseIUVProvider:
         return cv2.resize(img, (nw, nh), interpolation=cv2.INTER_LINEAR), scale
 
     def detect(self, images: np.ndarray, file_names: Sequence[str]) -> List[IUVDetection]:
+        n = images.shape[0]
+        if n == 0:
+            return []
+        # Preprocess all frames on host (uniform input => uniform scale/shape).
+        prepped, scales = [], []
+        for i in range(n):
+            resized, scale = self._resize_input(images[i])
+            prepped.append((resized.astype(np.float32) - PIXEL_MEAN) / PIXEL_STD)
+            scales.append(scale)
+        self._ensure_variables(prepped[0])
+
+        # Batched inference in fixed-size chunks (last chunk pads by repeating
+        # frame 0; padded rows are discarded). One transfer + one program per
+        # chunk instead of per frame.
+        results = []
+        bs = min(self.batch_size, n)
+        for lo in range(0, n, bs):
+            chunk = prepped[lo:lo + bs]
+            pad = bs - len(chunk)
+            batch = np.stack(chunk + [prepped[0]] * pad)
+            if bs == 1:
+                res = jax.device_get(self._apply(self.variables, jnp.asarray(batch[0])))
+                results.append(jax.tree.map(lambda a: a[None], res))
+            else:
+                results.append(jax.device_get(
+                    self._apply_batch(self.variables, jnp.asarray(batch))))
+            if pad:
+                results[-1] = jax.tree.map(lambda a: a[:-pad], results[-1])
+
         out: List[IUVDetection] = []
-        for i in range(images.shape[0]):
-            raw = images[i]
-            resized, scale = self._resize_input(raw)
-            img = (resized.astype(np.float32) - PIXEL_MEAN) / PIXEL_STD
-            self._ensure_variables(img)
-            res = jax.device_get(self._apply(self.variables, jnp.asarray(img)))
+        for i in range(n):
+            res = jax.tree.map(lambda a: a[i - (i // bs) * bs],
+                               results[i // bs])
+            scale = scales[i]
             valid = res["valid"]
             boxes = res["boxes"][valid] / scale  # back to original frame coords
             scores = res["scores"][valid]

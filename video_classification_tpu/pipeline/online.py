@@ -111,7 +111,8 @@ class DensePoseOnlineDetector:
 
     def __init__(self, cfg, variables=None, depth: int = 101,
                  pre_nms_topk: int = 256, post_nms_topk: int = 64,
-                 max_detections: int = 8, chart_pooler_size: int = 28):
+                 max_detections: int = 8, chart_pooler_size: int = 28,
+                 batch_size: int = 8):
         from ..detect.densepose import DensePoseRCNN
 
         if variables is None and str(cfg.DATA.DENSEPOSE_PKL):
@@ -135,13 +136,36 @@ class DensePoseOnlineDetector:
                     res["charts"][best], jnp.stack([res["u"][best], res["v"][best]]))
 
         self._one = jax.jit(one)
+        # Fixed-size frame batches: vmap over the static-shape single-frame
+        # graph — batched convs on the MXU, one transfer per chunk instead of
+        # one jit round-trip per frame.
+        self.batch_size = max(1, int(batch_size))
+        self._batch = jax.jit(
+            lambda variables, frames: jax.vmap(partial(one, variables))(frames)
+        )
 
     def __call__(self, padded_frames_bgr: np.ndarray) -> Detections:
         if self.variables is None:
             x = jnp.asarray(padded_frames_bgr[0], jnp.float32)
             self.variables = self.model.init(jax.random.PRNGKey(0), x, train=False)
-        outs = [self._one(self.variables, jnp.asarray(f)) for f in padded_frames_bgr]
-        boxes, valid, charts, uv = (jnp.stack([o[i] for o in outs]) for i in range(4))
+        s = padded_frames_bgr.shape[0]
+        bs = min(self.batch_size, s)
+        outs = []
+        for lo in range(0, s, bs):
+            chunk = padded_frames_bgr[lo:lo + bs]
+            pad = bs - chunk.shape[0]
+            if pad:  # repeat the last frame; padded rows dropped below
+                chunk = np.concatenate([chunk, np.repeat(chunk[-1:], pad, 0)])
+            if bs == 1:
+                o = self._one(self.variables, jnp.asarray(chunk[0]))
+                o = jax.tree.map(lambda a: a[None], o)
+            else:
+                o = self._batch(self.variables, jnp.asarray(chunk))
+            if pad:
+                o = jax.tree.map(lambda a: a[:-pad], o)
+            outs.append(o)
+        boxes, valid, charts, uv = (
+            jnp.concatenate([o[i] for o in outs]) for i in range(4))
         return Detections(boxes_xyxy=boxes, valid=valid,
                           charts=charts.astype(jnp.int32), uv=uv)
 
