@@ -131,3 +131,21 @@ def test_random_crop_batch_varies_per_sample():
     same = jnp.broadcast_to(clips[:1], clips.shape)
     out2 = np.asarray(random_crop_batch(key, same, size=32, padding=3))
     assert any(not np.array_equal(out2[i], out2[0]) for i in range(1, 8))
+
+
+def test_random_crop_uint8_matches_normalized_crop():
+    """Crop-then-normalize(+mask) == normalize-then-crop, bit for bit: the
+    uint8-domain crop (ops/image.random_crop_batch_uint8) must reproduce the
+    reference order (normalize in the dataset, RandomCrop after,
+    chalearn_dataset.py:41-46,73-87) including the zero fill living in
+    *normalized* space."""
+    from video_classification_tpu.ops.image import normalize, random_crop_batch_uint8
+
+    key = jax.random.PRNGKey(3)
+    clips = jnp.asarray(
+        np.random.RandomState(5).randint(0, 256, (4, 2, 32, 32, 21), np.uint8))
+    want = np.asarray(random_crop_batch(key, normalize(clips), size=32, padding=3))
+    crops, mask = random_crop_batch_uint8(key, clips, size=32, padding=3)
+    got = np.asarray(
+        normalize(crops) * np.asarray(mask)[:, None, :, :, None])
+    np.testing.assert_array_equal(got, want)

@@ -21,7 +21,7 @@ import jax.numpy as jnp
 
 from ..config.crop_cfg import crop_resize_dict
 from ..models import init_my_slowfast, init_res2d, init_res3d
-from ..ops.image import normalize, random_crop_batch
+from ..ops.image import normalize, random_crop_batch_uint8
 
 
 class ModelManager:
@@ -40,13 +40,6 @@ class ModelManager:
         else:
             raise NotImplementedError(name)
         self.crop_size = crop_resize_dict[cfg.MODEL.R3D_INPUT]
-
-    # -- augmentation (train only): normalize then RandomCrop(size, size//10),
-    # zero fill in normalized space — the reference normalizes in the dataset and
-    # crops afterwards (chalearn_dataset.py:41-46, 73-87).
-    def augment(self, rng: jax.Array, x_norm: jnp.ndarray) -> jnp.ndarray:
-        size = self.crop_size
-        return random_crop_batch(rng, x_norm, size=size, padding=size // 10)
 
     # -- model factories ---------------------------------------------------------
     def _init_slowfast(self):
@@ -77,7 +70,16 @@ class ModelManager:
     def normalize_and_prepare(
         self, x_uint8: jnp.ndarray, augment_rng: jax.Array | None = None
     ) -> Any:
-        x = normalize(x_uint8, dtype=jnp.dtype(self.cfg.TPU.COMPUTE_DTYPE))
+        dtype = jnp.dtype(self.cfg.TPU.COMPUTE_DTYPE)
         if augment_rng is not None:
-            x = self.augment(augment_rng, x)
+            # Crop while still uint8 (half the pad/slice HBM bytes), then the
+            # fused normalize; the mask multiply reproduces the reference's
+            # zero fill in normalized space bit-for-bit (ops/image.py).
+            size = self.crop_size
+            crops, mask = random_crop_batch_uint8(
+                augment_rng, x_uint8, size=size, padding=size // 10)
+            x = normalize(crops, dtype=dtype)
+            x = x * mask[:, None, :, :, None].astype(dtype)
+        else:
+            x = normalize(x_uint8, dtype=dtype)
         return self.prepare_data(x)

@@ -183,3 +183,37 @@ def random_crop_batch(
     return jax.vmap(functools.partial(random_crop, size=size, padding=padding))(
         keys, clips
     )
+
+
+def random_crop_batch_uint8(key: jax.Array, clips_u8: jnp.ndarray, size: int,
+                            padding: int):
+    """RandomCrop in the uint8 domain + content mask: (crops, mask).
+
+    Bitwise-equivalent to ``normalize -> random_crop_batch`` (whose zero fill
+    happens in *normalized* space, chalearn_dataset.py:41-46,73-87): crop the
+    uint8 tensor, return a (N, size, size) bool mask marking real content; the
+    caller multiplies the normalized crop by the mask, reproducing the
+    normalized-space zero fill exactly. Keeps the large tensor uint8 until the
+    fused normalize — half the pad/slice HBM traffic of cropping in bf16, and
+    the same key-derivation as random_crop_batch so offsets match it exactly.
+    """
+    n, t, h, w, c = clips_u8.shape
+    keys = jax.random.split(key, n)
+
+    def one(k, clip):
+        padded = jnp.pad(
+            clip, ((0, 0), (padding, padding), (padding, padding), (0, 0)))
+        max_y = h + 2 * padding - size
+        max_x = w + 2 * padding - size
+        ky, kx = jax.random.split(k)
+        oy = jax.random.randint(ky, (), 0, max_y + 1)
+        ox = jax.random.randint(kx, (), 0, max_x + 1)
+        crop = jax.lax.dynamic_slice(padded, (0, oy, ox, 0), (t, size, size, c))
+        span = jnp.arange(size)
+        rows = (span + oy >= padding) & (span + oy < h + padding)
+        cols = (span + ox >= padding) & (span + ox < w + padding)
+        return crop, rows, cols
+
+    crops, rows, cols = jax.vmap(one)(keys, clips_u8)
+    mask = rows[:, :, None] & cols[:, None, :]  # (N, size, size)
+    return crops, mask

@@ -18,7 +18,7 @@ import optax
 
 from ..engine.trainer import Trainer, TrainState
 from ..models import init_my_slowfast
-from ..ops.image import random_crop_batch
+from ..ops.image import random_crop_batch_uint8
 from .dataset import ChalearnGestureDataset
 
 
@@ -32,21 +32,22 @@ class V2ModelManager:
     def init_model(self):
         return init_my_slowfast(self.cfg, (5, 2), (64, 8))
 
-    def augment(self, rng: jax.Array, x: jnp.ndarray) -> jnp.ndarray:
-        size = self.crop_size
-        return random_crop_batch(rng, x, size=size, padding=size // 10)
-
     def prepare_data(self, x: jnp.ndarray) -> List[jnp.ndarray]:
         # channels [rgb 3, uv 2, flow 2]: slow = rgb+uv, fast = flow
         # (new_feature_test.py:731-739).
         return [x[..., 0:5], x[..., 5:7]]
 
     def normalize_and_prepare(self, x_uint8, augment_rng=None):
+        if augment_rng is not None:
+            # Crop while still uint8: v2 normalization is x/255 only
+            # (new_feature_test.py:600), so the zero pad fill is exact in
+            # either domain; same key derivation as random_crop_batch.
+            size = self.crop_size
+            x_uint8, _ = random_crop_batch_uint8(
+                augment_rng, x_uint8, size=size, padding=size // 10)
         # v2 normalization is x/255 only (new_feature_test.py:600).
         x = x_uint8.astype(jnp.float32) * (1.0 / 255.0)
         x = x.astype(jnp.dtype(self.cfg.TPU.COMPUTE_DTYPE))
-        if augment_rng is not None:
-            x = self.augment(augment_rng, x)
         return self.prepare_data(x)
 
 
