@@ -190,3 +190,22 @@ def test_sparse_model_matches_reference_semantics():
     for ci in range(c):
         want[:, ci] = np.asarray(x)[:, :, ci] @ w[ci] + b[ci]
     np.testing.assert_allclose(y, want, rtol=1e-5, atol=1e-6)
+
+
+def test_space_to_depth_stem_matches_strided_conv():
+    """SpaceToDepthConv == the (1,7,7)/(1,2,2) strided conv it replaces, on
+    even and odd spatial sizes, with the canonical (1,7,7,Cin,Cout) param."""
+    from video_classification_tpu.models.layers import SpaceToDepthConv
+
+    rng = np.random.RandomState(0)
+    for h, w in [(32, 32), (16, 24), (17, 24)]:
+        x = jnp.asarray(rng.randn(2, 3, h, w, 15).astype(np.float32))
+        m = SpaceToDepthConv(8)
+        v = m.init(jax.random.PRNGKey(0), x)
+        assert v["params"]["kernel"].shape == (1, 7, 7, 15, 8)
+        got = m.apply(v, x)
+        want = jax.lax.conv_general_dilated(
+            x, v["params"]["kernel"], (1, 2, 2), [(0, 0), (3, 3), (3, 3)],
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-4, atol=1e-5)

@@ -29,7 +29,7 @@ from typing import Any, Sequence, Tuple
 import flax.linen as nn
 import jax.numpy as jnp
 
-from .layers import avg_pool_3d, batch_norm, conv3d, max_pool_3d
+from .layers import SpaceToDepthConv, avg_pool_3d, batch_norm, conv3d, max_pool_3d
 
 STAGE_DEPTHS_50 = (3, 4, 6, 3)
 # pytorchvideo _MODEL_STAGE_DEPTH (my_slowfast.py:129-134).
@@ -60,8 +60,11 @@ class ResBasicStem(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool):
-        x = conv3d(self.out_channels, (1, 7, 7), (1, 2, 2), name="conv",
-                   dtype=self.dtype, param_dtype=self.param_dtype)(x)
+        # Space-to-depth formulation of the (1,7,7)/(1,2,2) conv: same math,
+        # stride-1 in both directions (see layers.SpaceToDepthConv — the
+        # strided conv's transposed-conv backward dominated the train step).
+        x = SpaceToDepthConv(self.out_channels, name="conv",
+                             dtype=self.dtype, param_dtype=self.param_dtype)(x)
         x = batch_norm(train, name="norm", param_dtype=self.param_dtype)(x)
         x = nn.relu(x).astype(self.dtype)
         return max_pool_3d(x, (1, 3, 3), (1, 2, 2), (0, 1, 1))
