@@ -133,19 +133,24 @@ def test_random_crop_batch_varies_per_sample():
     assert any(not np.array_equal(out2[i], out2[0]) for i in range(1, 8))
 
 
-def test_random_crop_uint8_matches_normalized_crop():
-    """Crop-then-normalize(+mask) == normalize-then-crop, bit for bit: the
-    uint8-domain crop (ops/image.random_crop_batch_uint8) must reproduce the
-    reference order (normalize in the dataset, RandomCrop after,
-    chalearn_dataset.py:41-46,73-87) including the zero fill living in
-    *normalized* space."""
-    from video_classification_tpu.ops.image import normalize, random_crop_batch_uint8
+def test_random_crop_mxu_matches_slice_crop():
+    """The one-hot-matmul crop (ops/image.random_crop_batch_mxu) == the
+    dynamic-slice reference implementation, bit for bit — same key-derived
+    offsets, same normalized-space zero fill (chalearn_dataset.py:41-46,73-87).
+    One-hot matmuls are exact (each output is a single 1.0*v product)."""
+    from video_classification_tpu.ops.image import normalize, random_crop_batch_mxu
 
     key = jax.random.PRNGKey(3)
     clips = jnp.asarray(
         np.random.RandomState(5).randint(0, 256, (4, 2, 32, 32, 21), np.uint8))
-    want = np.asarray(random_crop_batch(key, normalize(clips), size=32, padding=3))
-    crops, mask = random_crop_batch_uint8(key, clips, size=32, padding=3)
-    got = np.asarray(
-        normalize(crops) * np.asarray(mask)[:, None, :, :, None])
+    xn = normalize(clips)
+    want = np.asarray(random_crop_batch(key, xn, size=32, padding=3))
+    got = np.asarray(random_crop_batch_mxu(key, xn, size=32, padding=3))
     np.testing.assert_array_equal(got, want)
+    # crop smaller than the source, non-square frames
+    clips2 = jnp.asarray(
+        np.random.RandomState(7).randint(0, 256, (3, 2, 24, 40, 5), np.uint8))
+    xn2 = normalize(clips2)
+    want2 = np.asarray(random_crop_batch(key, xn2, size=16, padding=2))
+    got2 = np.asarray(random_crop_batch_mxu(key, xn2, size=16, padding=2))
+    np.testing.assert_array_equal(got2, want2)

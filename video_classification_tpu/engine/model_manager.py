@@ -21,7 +21,7 @@ import jax.numpy as jnp
 
 from ..config.crop_cfg import crop_resize_dict
 from ..models import init_my_slowfast, init_res2d, init_res3d
-from ..ops.image import normalize, random_crop_batch_uint8
+from ..ops.image import normalize, random_crop_batch_mxu
 
 
 class ModelManager:
@@ -31,12 +31,15 @@ class ModelManager:
         if name == "res2d":
             self.init_model = self._init_res2d
             self.prepare_data = self._prepare_res2d
+            self.finish = self._finish_res2d
         elif name == "res3d":
             self.init_model = self._init_res3d
             self.prepare_data = self._prepare_res3d
+            self.finish = lambda x: x
         elif "slowfast" in name:
             self.init_model = self._init_slowfast
             self.prepare_data = self._prepare_slowfast
+            self.finish = lambda x: x
         else:
             raise NotImplementedError(name)
         self.crop_size = crop_resize_dict[cfg.MODEL.R3D_INPUT]
@@ -52,6 +55,10 @@ class ModelManager:
         return init_res3d(self.cfg)
 
     # -- batch -> model inputs ---------------------------------------------------
+    # Channel split first (on the uint8 tensor — slicing commutes with the
+    # elementwise normalize and the spatial crop), so no consumer ever reads
+    # the full 21-channel normalized tensor: profiled, the post-crop channel
+    # split alone cost ~12 ms/step at batch 32 (a 990 MB bf16 copy).
     def _prepare_slowfast(self, x_norm: jnp.ndarray) -> List[jnp.ndarray]:
         # (N,T,H,W,21): bgr+uv 0:5 slow, flow 5:20 fast (train.py:136-145).
         return [x_norm[..., 0:5], x_norm[..., 5:20]]
@@ -60,26 +67,36 @@ class ModelManager:
         return x_norm[..., 0:5]
 
     def _prepare_res2d(self, x_norm: jnp.ndarray) -> jnp.ndarray:
-        # NTHWC[0:5] -> NHW(T*C): T-major channel order, matching torch's
-        # reshape(N, T*C, H, W) of NTCHW (train.py:70-76).
-        x = x_norm[..., 0:5]
-        n, t, h, w, c = x.shape
-        x = jnp.transpose(x, (0, 2, 3, 1, 4))
+        return x_norm[..., 0:5]
+
+    def _finish_res2d(self, x_norm: jnp.ndarray) -> jnp.ndarray:
+        # NTHWC -> NHW(T*C): T-major channel order, matching torch's
+        # reshape(N, T*C, H, W) of NTCHW (train.py:70-76). Runs after the
+        # (purely spatial) crop, with which it commutes.
+        n, t, h, w, c = x_norm.shape
+        x = jnp.transpose(x_norm, (0, 2, 3, 1, 4))
         return x.reshape(n, h, w, t * c)
 
     def normalize_and_prepare(
         self, x_uint8: jnp.ndarray, augment_rng: jax.Array | None = None
     ) -> Any:
         dtype = jnp.dtype(self.cfg.TPU.COMPUTE_DTYPE)
-        if augment_rng is not None:
-            # Crop while still uint8 (half the pad/slice HBM bytes), then the
-            # fused normalize; the mask multiply reproduces the reference's
-            # zero fill in normalized space bit-for-bit (ops/image.py).
-            size = self.crop_size
-            crops, mask = random_crop_batch_uint8(
-                augment_rng, x_uint8, size=size, padding=size // 10)
-            x = normalize(crops, dtype=dtype)
-            x = x * mask[:, None, :, :, None].astype(dtype)
-        else:
-            x = normalize(x_uint8, dtype=dtype)
-        return self.prepare_data(x)
+        parts = self.prepare_data(x_uint8)
+        single = not isinstance(parts, (list, tuple))
+
+        def proc(p: jnp.ndarray) -> jnp.ndarray:
+            x = normalize(p, dtype=dtype)
+            if augment_rng is not None:
+                # Normalize-then-RandomCrop, the reference order (zero fill in
+                # normalized space, chalearn_dataset.py:41-46,73-87), via the
+                # MXU one-hot-shift formulation (ops/image.random_crop_batch_mxu).
+                # Same rng per pathway => identical offsets, as in the
+                # reference's single crop of the whole 21-channel stack.
+                size = self.crop_size
+                x = random_crop_batch_mxu(
+                    augment_rng, x, size=size, padding=size // 10)
+            return x
+
+        if single:
+            return self.finish(proc(parts))
+        return [self.finish(proc(p)) for p in parts]

@@ -185,35 +185,41 @@ def random_crop_batch(
     )
 
 
-def random_crop_batch_uint8(key: jax.Array, clips_u8: jnp.ndarray, size: int,
-                            padding: int):
-    """RandomCrop in the uint8 domain + content mask: (crops, mask).
+def random_crop_batch_mxu(
+    key: jax.Array, clips: jnp.ndarray, size: int, padding: int
+) -> jnp.ndarray:
+    """``random_crop_batch`` re-expressed as two one-hot shift matmuls.
 
-    Bitwise-equivalent to ``normalize -> random_crop_batch`` (whose zero fill
-    happens in *normalized* space, chalearn_dataset.py:41-46,73-87): crop the
-    uint8 tensor, return a (N, size, size) bool mask marking real content; the
-    caller multiplies the normalized crop by the mask, reproducing the
-    normalized-space zero fill exactly. Keeps the large tensor uint8 until the
-    fused normalize — half the pad/slice HBM traffic of cropping in bf16, and
-    the same key-derivation as random_crop_batch so offsets match it exactly.
+    A vmapped per-sample ``dynamic_slice`` lowers to a sequential while loop
+    on TPU (one dynamic-update-slice per batch element — profiled at ~86 ms of
+    a 536 ms flagship train step). A padding-then-crop with zero fill is just a
+    per-sample spatial shift, and a shift is a matmul by a one-hot
+    row/column-selection matrix: out = S_y @ x @ S_x^T with S[i, j] = 1 iff
+    j == i + offset - padding (rows shifted in from the pad region are all-zero
+    — exactly the reference's zero fill, which lives in *normalized* space,
+    chalearn_dataset.py:41-46,73-87, so call this on the normalized tensor).
+    One-hot matmuls are exact in any float dtype (each output is a single
+    1.0 * v product), so this is bit-equal to random_crop_batch while running
+    on the MXU, batched, with no 32-step serial loop and no padded copy.
+
+    Offset derivation matches random_crop_batch key-for-key.
     """
-    n, t, h, w, c = clips_u8.shape
+    n, t, h, w, c = clips.shape
     keys = jax.random.split(key, n)
+    ky = jax.vmap(lambda k: jax.random.split(k)[0])(keys)
+    kx = jax.vmap(lambda k: jax.random.split(k)[1])(keys)
+    max_y = h + 2 * padding - size
+    max_x = w + 2 * padding - size
+    oy = jax.vmap(lambda k: jax.random.randint(k, (), 0, max_y + 1))(ky)
+    ox = jax.vmap(lambda k: jax.random.randint(k, (), 0, max_x + 1))(kx)
 
-    def one(k, clip):
-        padded = jnp.pad(
-            clip, ((0, 0), (padding, padding), (padding, padding), (0, 0)))
-        max_y = h + 2 * padding - size
-        max_x = w + 2 * padding - size
-        ky, kx = jax.random.split(k)
-        oy = jax.random.randint(ky, (), 0, max_y + 1)
-        ox = jax.random.randint(kx, (), 0, max_x + 1)
-        crop = jax.lax.dynamic_slice(padded, (0, oy, ox, 0), (t, size, size, c))
-        span = jnp.arange(size)
-        rows = (span + oy >= padding) & (span + oy < h + padding)
-        cols = (span + ox >= padding) & (span + ox < w + padding)
-        return crop, rows, cols
-
-    crops, rows, cols = jax.vmap(one)(keys, clips_u8)
-    mask = rows[:, :, None] & cols[:, None, :]  # (N, size, size)
-    return crops, mask
+    span = jnp.arange(size)
+    iy = oy[:, None] + span[None, :] - padding  # (N, size): source row or OOB
+    ix = ox[:, None] + span[None, :] - padding
+    # one_hot of an out-of-range index is an all-zero row => zero fill.
+    sy = jax.nn.one_hot(jnp.where((iy >= 0) & (iy < h), iy, -1), h,
+                        dtype=clips.dtype)  # (N, size, H)
+    sx = jax.nn.one_hot(jnp.where((ix >= 0) & (ix < w), ix, -1), w,
+                        dtype=clips.dtype)  # (N, size, W)
+    out = jnp.einsum("nyh,nthwc->ntywc", sy, clips)
+    return jnp.einsum("nxw,ntywc->ntyxc", sx, out)

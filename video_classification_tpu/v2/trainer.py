@@ -18,7 +18,7 @@ import optax
 
 from ..engine.trainer import Trainer, TrainState
 from ..models import init_my_slowfast
-from ..ops.image import random_crop_batch_uint8
+from ..ops.image import random_crop_batch_mxu
 from .dataset import ChalearnGestureDataset
 
 
@@ -38,17 +38,23 @@ class V2ModelManager:
         return [x[..., 0:5], x[..., 5:7]]
 
     def normalize_and_prepare(self, x_uint8, augment_rng=None):
-        if augment_rng is not None:
-            # Crop while still uint8: v2 normalization is x/255 only
-            # (new_feature_test.py:600), so the zero pad fill is exact in
-            # either domain; same key derivation as random_crop_batch.
-            size = self.crop_size
-            x_uint8, _ = random_crop_batch_uint8(
-                augment_rng, x_uint8, size=size, padding=size // 10)
-        # v2 normalization is x/255 only (new_feature_test.py:600).
-        x = x_uint8.astype(jnp.float32) * (1.0 / 255.0)
-        x = x.astype(jnp.dtype(self.cfg.TPU.COMPUTE_DTYPE))
-        return self.prepare_data(x)
+        # Pathway split first (slicing commutes with the elementwise
+        # normalize and the spatial crop) so no consumer reads the full
+        # 7-channel normalized tensor; see engine/model_manager.py.
+        def proc(p):
+            # v2 normalization is x/255 only (new_feature_test.py:600).
+            x = p.astype(jnp.float32) * (1.0 / 255.0)
+            x = x.astype(jnp.dtype(self.cfg.TPU.COMPUTE_DTYPE))
+            if augment_rng is not None:
+                # Normalize-then-crop via the MXU one-hot-shift formulation
+                # (zero fill exact in either domain for x/255 normalization;
+                # same rng per pathway => one shared crop window).
+                size = self.crop_size
+                x = random_crop_batch_mxu(
+                    augment_rng, x, size=size, padding=size // 10)
+            return x
+
+        return [proc(p) for p in self.prepare_data(x_uint8)]
 
 
 class V2Trainer(Trainer):
