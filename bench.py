@@ -37,7 +37,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-REFERENCE_CLIPS_PER_SEC = 25.0  # documented estimate, BASELINE.md
+REFERENCE_CLIPS_PER_SEC = 25.0  # train-throughput estimate, BASELINE.md
+# Raw-video -> trained-step single-pass chain (pyflow Pool + DensePose +
+# crop I/O + train): ~0.19 clips/s — derivation in BASELINE.md.
+REFERENCE_E2E_CLIPS_PER_SEC = 0.19
 
 SMOKE = os.environ.get("BENCH_SMOKE") == "1"
 
@@ -252,7 +255,7 @@ def main():
         out["model_tflops_per_sec"] = round(tflops, 2)
     if e2e is not None:
         out["e2e_clips_per_sec"] = round(float(e2e), 3)
-        out["e2e_vs_baseline"] = round(float(e2e) / REFERENCE_CLIPS_PER_SEC, 3)
+        out["e2e_vs_baseline"] = round(float(e2e) / REFERENCE_E2E_CLIPS_PER_SEC, 3)
     print(json.dumps(out))
 
 
