@@ -209,3 +209,26 @@ def test_space_to_depth_stem_matches_strided_conv():
             dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_slowfast_accepts_prepacked_s2d_input():
+    """Forward on s2d-prepacked pathway inputs == forward on plain inputs
+    (same variables): the crop matmul emits the stem's packed layout
+    directly (ops/image.random_crop_batch_mxu space_to_depth=True)."""
+    from video_classification_tpu.models.slowfast import SlowFast
+
+    model = SlowFast(num_classes=5, input_channels=(5, 15),
+                     depths=SHALLOW, head_pool_kernels=((2, 2, 2), (2, 2, 2)))
+    rng = np.random.RandomState(3)
+    xs = [jnp.asarray(rng.randn(2, 4, 32, 32, 5).astype(np.float32)),
+          jnp.asarray(rng.randn(2, 4, 32, 32, 15).astype(np.float32))]
+
+    def pack(x):
+        n, t, h, w, c = x.shape
+        return x.reshape(n, t, h // 2, 2, w // 2, 2, c).transpose(
+            0, 1, 2, 4, 3, 5, 6).reshape(n, t, h // 2, w // 2, 4 * c)
+
+    variables = model.init(jax.random.PRNGKey(0), xs, train=False)
+    want = np.asarray(model.apply(variables, xs, train=False))
+    got = np.asarray(model.apply(variables, [pack(x) for x in xs], train=False))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)

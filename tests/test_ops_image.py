@@ -154,3 +154,22 @@ def test_random_crop_mxu_matches_slice_crop():
     want2 = np.asarray(random_crop_batch(key, xn2, size=16, padding=2))
     got2 = np.asarray(random_crop_batch_mxu(key, xn2, size=16, padding=2))
     np.testing.assert_array_equal(got2, want2)
+
+
+def test_random_crop_mxu_space_to_depth_layout():
+    """space_to_depth=True == s2d repack of the plain crop: out[..., Y, X,
+    (py, px, c)] == crop[..., 2Y+py, 2X+px, c] (the SpaceToDepthConv input
+    layout, models/layers.py)."""
+    from video_classification_tpu.ops.image import normalize, random_crop_batch_mxu
+
+    key = jax.random.PRNGKey(9)
+    clips = jnp.asarray(
+        np.random.RandomState(11).randint(0, 256, (3, 2, 32, 32, 5), np.uint8))
+    xn = normalize(clips)
+    plain = np.asarray(random_crop_batch_mxu(key, xn, size=24, padding=2))
+    packed = np.asarray(
+        random_crop_batch_mxu(key, xn, size=24, padding=2, space_to_depth=True))
+    n, t, s, _, c = plain.shape
+    want = plain.reshape(n, t, s // 2, 2, s // 2, 2, c).transpose(
+        0, 1, 2, 4, 3, 5, 6).reshape(n, t, s // 2, s // 2, 4 * c)
+    np.testing.assert_array_equal(packed, want)

@@ -42,6 +42,9 @@ class ModelManager:
             self.finish = lambda x: x
         else:
             raise NotImplementedError(name)
+        # SlowFast stems consume space-to-depth input natively, so the crop
+        # matmul can emit that layout directly (zero-cost repacking).
+        self.s2d_crop = "slowfast" in name
         self.crop_size = crop_resize_dict[cfg.MODEL.R3D_INPUT]
 
     # -- model factories ---------------------------------------------------------
@@ -94,7 +97,8 @@ class ModelManager:
                 # reference's single crop of the whole 21-channel stack.
                 size = self.crop_size
                 x = random_crop_batch_mxu(
-                    augment_rng, x, size=size, padding=size // 10)
+                    augment_rng, x, size=size, padding=size // 10,
+                    space_to_depth=self.s2d_crop and size % 2 == 0)
             return x
 
         if single:

@@ -13,7 +13,7 @@ full global batch — cross-replica sync-BN comes for free, no axis_name plumbin
 
 from __future__ import annotations
 
-from typing import Any, Sequence, Tuple
+from typing import Any, Optional, Sequence, Tuple
 
 import flax.linen as nn
 import jax
@@ -60,27 +60,40 @@ class SpaceToDepthConv(nn.Module):
     ((1, 7, 7, Cin, features) 'kernel', no bias), so checkpoints, the torch
     converter, and warm starts are unaffected; the rearrangement to the s2d
     kernel is a param-sized reshape traced into the step.
+
+    When ``in_channels`` is set and the input arrives with ``4 * in_channels``
+    channels, it is treated as already space-to-depth packed (channel order
+    (py, px, c), half spatial size) — ops/image.random_crop_batch_mxu's
+    ``space_to_depth=True`` emits that layout straight out of the crop matmul,
+    so the repacking transpose never materializes.
     """
 
     features: int
+    in_channels: Optional[int] = None
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        b, t, h, w, cin = x.shape
+        b, t, h, w, cx = x.shape
+        prepacked = self.in_channels is not None and cx == 4 * self.in_channels
+        cin = self.in_channels if prepacked else cx
         k = self.param(
             "kernel", nn.initializers.lecun_normal(),
             (1, 7, 7, cin, self.features), self.param_dtype,
         )
         xd = x.astype(self.dtype)
         kd = k.astype(self.dtype)
-        if h % 2 or w % 2:  # odd sizes: plain strided conv
+        if not prepacked and (h % 2 or w % 2):  # odd sizes: plain strided conv
             return jax.lax.conv_general_dilated(
                 xd, kd, (1, 2, 2), [(0, 0), (3, 3), (3, 3)],
                 dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
-        xs = x.reshape(b, t, h // 2, 2, w // 2, 2, cin)
-        xs = xs.transpose(0, 1, 2, 4, 3, 5, 6).reshape(b, t, h // 2, w // 2, 4 * cin)
+        if prepacked:
+            xs = xd
+        else:
+            xs = xd.reshape(b, t, h // 2, 2, w // 2, 2, cin)
+            xs = xs.transpose(0, 1, 2, 4, 3, 5, 6).reshape(
+                b, t, h // 2, w // 2, 4 * cin)
         # Kernel to s2d domain: pad 7->8 with a zero leading row/col, split each
         # spatial dim into (tap, parity) — tap offsets di,dj in [-2, 1] => SAME
         # padding (2, 1).

@@ -55,6 +55,7 @@ class ResBasicStem(nn.Module):
     """
 
     out_channels: int
+    in_channels: int | None = None  # set => accepts s2d-prepacked input too
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
 
@@ -63,7 +64,8 @@ class ResBasicStem(nn.Module):
         # Space-to-depth formulation of the (1,7,7)/(1,2,2) conv: same math,
         # stride-1 in both directions (see layers.SpaceToDepthConv — the
         # strided conv's transposed-conv backward dominated the train step).
-        x = SpaceToDepthConv(self.out_channels, name="conv",
+        x = SpaceToDepthConv(self.out_channels, in_channels=self.in_channels,
+                             name="conv",
                              dtype=self.dtype, param_dtype=self.param_dtype)(x)
         x = batch_norm(train, name="norm", param_dtype=self.param_dtype)(x)
         x = nn.relu(x).astype(self.dtype)
@@ -264,6 +266,7 @@ class SlowFast(nn.Module):
     head_pool_kernels: Tuple[Tuple[int, int, int], ...] = ((4, 2, 2), (4, 2, 2))
     dropout_rate: float = 0.5
     remat: bool = False  # jax.checkpoint each stage: trade FLOPs for HBM (cfg.TPU.REMAT)
+    remat_policy: str = ""  # "conv": save conv outputs, recompute BN/ReLU only
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
 
@@ -271,9 +274,12 @@ class SlowFast(nn.Module):
     def __call__(self, xs: Sequence[jnp.ndarray], train: bool = False):
         assert len(xs) == 2, "two pathways (slow, fast)"
         for p, x in enumerate(xs):
-            assert x.shape[-1] == self.input_channels[p], (
+            # 4x channels = space-to-depth-prepacked input (half spatial size;
+            # ops/image.random_crop_batch_mxu space_to_depth=True).
+            assert x.shape[-1] in (self.input_channels[p],
+                                   4 * self.input_channels[p]), (
                 f"pathway {p}: got {x.shape[-1]} channels, "
-                f"expected {self.input_channels[p]}"
+                f"expected {self.input_channels[p]} (or 4x prepacked)"
             )
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
         slow_dim, fast_dim = self.stem_dim_outs
@@ -284,7 +290,9 @@ class SlowFast(nn.Module):
         xs = [x.astype(self.dtype) for x in xs]
         # Block 0: stems + fusion.
         xs = [
-            ResBasicStem(self.stem_dim_outs[p], name=f"blocks_0_pathway_{p}", **kw)(
+            ResBasicStem(self.stem_dim_outs[p],
+                         in_channels=self.input_channels[p],
+                         name=f"blocks_0_pathway_{p}", **kw)(
                 xs[p], train
             )
             for p in range(2)
@@ -299,7 +307,19 @@ class SlowFast(nn.Module):
         # max_stage_idx == 3 in my_slowfast.py:256).
         # With remat, each stage's activations are recomputed in the backward
         # pass instead of living in HBM — larger batches at ~1.3x FLOPs.
-        Stage = nn.remat(ResStage, static_argnums=(2,)) if self.remat else ResStage
+        if self.remat:
+            # policy="conv" keeps every conv output resident and recomputes
+            # only the elementwise BN/ReLU/add chains between convs in the
+            # backward pass — a fraction of full-stage recompute cost for most
+            # of the peak-HBM relief (the stored-activation count per
+            # bottleneck chain drops ~3x: conv/BN/ReLU -> conv only).
+            policy = (
+                (lambda prim, *_, **__: prim.name == "conv_general_dilated")
+                if self.remat_policy == "conv" else None
+            )
+            Stage = nn.remat(ResStage, static_argnums=(2,), policy=policy)
+        else:
+            Stage = ResStage
         stage_dim_in = slow_dim       # 64
         stage_dim_out = slow_dim * 4  # 256
         for idx in range(len(self.depths)):
@@ -354,6 +374,7 @@ def init_my_slowfast(cfg, input_channels=(5, 15), stem_dim_outs=(64, 8)) -> Slow
         fuse=bool(cfg.MODEL.FUSE),
         fusion_mode=str(cfg.MODEL.FUSION_MODE),
         remat=bool(cfg.TPU.REMAT),
+        remat_policy=str(cfg.TPU.REMAT_POLICY),
         dtype=jnp.dtype(cfg.TPU.COMPUTE_DTYPE),
         param_dtype=jnp.dtype(cfg.TPU.PARAM_DTYPE),
     )

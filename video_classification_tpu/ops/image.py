@@ -186,7 +186,8 @@ def random_crop_batch(
 
 
 def random_crop_batch_mxu(
-    key: jax.Array, clips: jnp.ndarray, size: int, padding: int
+    key: jax.Array, clips: jnp.ndarray, size: int, padding: int,
+    space_to_depth: bool = False,
 ) -> jnp.ndarray:
     """``random_crop_batch`` re-expressed as two one-hot shift matmuls.
 
@@ -203,6 +204,14 @@ def random_crop_batch_mxu(
     on the MXU, batched, with no 32-step serial loop and no padded copy.
 
     Offset derivation matches random_crop_batch key-for-key.
+
+    ``space_to_depth=True`` (even ``size`` only) makes the second matmul write
+    its output directly in the 2x2 space-to-depth layout the SlowFast stems
+    consume — (N, T, size/2, size/2, 4C) with channel order (py, px, c),
+    matching models/layers.SpaceToDepthConv — so the stems' s2d repacking
+    costs nothing (the profiled reshape+transpose pair was ~20 ms/step at
+    batch 32). Same values, different layout: out[..., Y, X, (py, px, c)] ==
+    crop[..., 2Y+py, 2X+px, c].
     """
     n, t, h, w, c = clips.shape
     keys = jax.random.split(key, n)
@@ -221,5 +230,12 @@ def random_crop_batch_mxu(
                         dtype=clips.dtype)  # (N, size, H)
     sx = jax.nn.one_hot(jnp.where((ix >= 0) & (ix < w), ix, -1), w,
                         dtype=clips.dtype)  # (N, size, W)
-    out = jnp.einsum("nyh,nthwc->ntywc", sy, clips)
-    return jnp.einsum("nxw,ntywc->ntyxc", sx, out)
+    if not space_to_depth:
+        out = jnp.einsum("nyh,nthwc->ntywc", sy, clips)
+        return jnp.einsum("nxw,ntywc->ntyxc", sx, out)
+    assert size % 2 == 0, "space_to_depth needs an even crop size"
+    syp = sy.reshape(n, size // 2, 2, h)  # row 2Y+py
+    sxp = sx.reshape(n, size // 2, 2, w)
+    out = jnp.einsum("nyph,nthwc->ntypwc", syp, clips)
+    out = jnp.einsum("nxqw,ntypwc->ntyxpqc", sxp, out)
+    return out.reshape(n, t, size // 2, size // 2, 4 * c)

@@ -51,7 +51,8 @@ class V2ModelManager:
                 # same rng per pathway => one shared crop window).
                 size = self.crop_size
                 x = random_crop_batch_mxu(
-                    augment_rng, x, size=size, padding=size // 10)
+                    augment_rng, x, size=size, padding=size // 10,
+                    space_to_depth=size % 2 == 0)
             return x
 
         return [proc(p) for p in self.prepare_data(x_uint8)]
