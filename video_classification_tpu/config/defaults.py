@@ -79,6 +79,10 @@ _C.TPU.PREFETCH_DEPTH = 1  # Device-side double buffering depth. Each queued bat
                            # default on 16 GB chips.
 _C.TPU.DONATE_STATE = True         # Donate train state buffers to the step fn.
 _C.TPU.REMAT = False               # jax.checkpoint the stages (memory/compute trade).
+_C.TPU.REMAT_POLICY = ""           # "" = recompute everything in the stage;
+                                   # "conv" = save conv outputs, recompute only
+                                   # the BN/ReLU/add chains between them (much
+                                   # cheaper recompute, most of the HBM relief).
 _C.TPU.SEED = 0
 _C.TPU.COMPILATION_CACHE_DIR = ""  # non-empty: persistent XLA compile cache.
 
