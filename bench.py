@@ -214,13 +214,14 @@ def main():
     value = None
     tflops = None
     used = None
-    # Measured roofline (v5e, batch 32): 563 GFLOP/clip, 9.43 GB/clip accessed,
-    # 565 GB/s effective (~69% of peak HBM) — the step is memory-bound, so
-    # larger batches don't raise clips/s; and batch>=48 programs have crashed
-    # the remote compile helper (HTTP 500), as has remat. Keep the ladder to
-    # rungs that compile reliably.
+    # Measured ladder (v5e, after the crop-matmul + s2d-prepack fixes):
+    # batch 16 = 85 clips/s, 24/32 = 74, 20 = 64 (layout artifact), 48 = OOM
+    # (26.5 G > 15.75 G HBM), full-stage remat loses ~6%. Batch >= 24 runs
+    # into peak-HBM pressure: XLA inserts activation compression copies and
+    # in-graph convs run ~2x their standalone cost, so the smaller batch is
+    # the faster one. Keep 16 first; 32 and 8 as fallbacks.
     strategies = [(8, False)] if SMOKE else [
-        (32, False), (16, False), (8, False),
+        (16, False), (32, False), (8, False),
     ]
     for attempt in range(1 if SMOKE else 3):
         for batch, remat in strategies:
