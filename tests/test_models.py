@@ -232,3 +232,35 @@ def test_slowfast_accepts_prepacked_s2d_input():
     want = np.asarray(model.apply(variables, xs, train=False))
     got = np.asarray(model.apply(variables, [pack(x) for x in xs], train=False))
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_slowfast_packed_fast_pathway_matches_unpacked():
+    """pack_fast=True (fast stages in the 2x2 s2d domain, layers.PackedConv3d +
+    grouped-stat BN) == pack_fast=False: identical variable tree, same forward
+    up to float reassociation, same batch-stats updates."""
+    from video_classification_tpu.models.slowfast import SlowFast
+
+    kw = dict(num_classes=5, input_channels=(5, 15),
+              depths=SHALLOW, head_pool_kernels=((2, 2, 2), (2, 2, 2)))
+    rng = np.random.RandomState(4)
+    xs = [jnp.asarray(rng.randn(2, 4, 16, 16, 5).astype(np.float32)),
+          jnp.asarray(rng.randn(2, 4, 16, 16, 15).astype(np.float32))]
+    m0 = SlowFast(pack_fast=False, **kw)
+    m1 = SlowFast(pack_fast=True, **kw)
+    v = m0.init(jax.random.PRNGKey(0), xs, train=False)
+    v1 = m1.init(jax.random.PRNGKey(0), xs, train=False)
+    assert jax.tree.map(lambda a: a.shape, v) == jax.tree.map(lambda a: a.shape, v1)
+    # eval forward
+    want = np.asarray(m0.apply(v, xs, train=False))
+    got = np.asarray(m1.apply(v, xs, train=False))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+    # train forward + batch stats
+    want_t, ws = m0.apply(v, xs, train=True, mutable=["batch_stats"],
+                          rngs={"dropout": jax.random.PRNGKey(1)})
+    got_t, gs = m1.apply(v, xs, train=True, mutable=["batch_stats"],
+                         rngs={"dropout": jax.random.PRNGKey(1)})
+    np.testing.assert_allclose(np.asarray(got_t), np.asarray(want_t),
+                               rtol=1e-4, atol=1e-4)
+    for a, b in zip(jax.tree.leaves(ws), jax.tree.leaves(gs)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)

@@ -79,6 +79,9 @@ _C.TPU.PREFETCH_DEPTH = 1  # Device-side double buffering depth. Each queued bat
                            # default on 16 GB chips.
 _C.TPU.DONATE_STATE = True         # Donate train state buffers to the step fn.
 _C.TPU.REMAT = False               # jax.checkpoint the stages (memory/compute trade).
+_C.TPU.PACK_FAST = True            # Small-channel fast-pathway stages run in the
+                                   # 2x2 space-to-depth domain (4x lane occupancy;
+                                   # same math up to float reassociation).
 _C.TPU.REMAT_POLICY = ""           # "" = recompute everything in the stage;
                                    # "conv" = save conv outputs, recompute only
                                    # the BN/ReLU/add chains between them (much

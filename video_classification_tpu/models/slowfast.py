@@ -29,7 +29,8 @@ from typing import Any, Sequence, Tuple
 import flax.linen as nn
 import jax.numpy as jnp
 
-from .layers import SpaceToDepthConv, avg_pool_3d, batch_norm, conv3d, max_pool_3d
+from .layers import (PackedConv3d, SpaceToDepthConv, avg_pool_3d, batch_norm,
+                     conv3d, max_pool_3d, pack_2x2, unpack_2x2)
 
 STAGE_DEPTHS_50 = (3, 4, 6, 3)
 # pytorchvideo _MODEL_STAGE_DEPTH (my_slowfast.py:129-134).
@@ -84,22 +85,34 @@ class BottleneckBlock(nn.Module):
     conv_a_kernel: Tuple[int, int, int]
     temporal_stride: int = 1
     spatial_stride: int = 1
+    packed: bool = False  # compute in the 2x2 s2d domain (layers.PackedConv3d)
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool):
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
-        x = conv3d(self.dim_inner, self.conv_a_kernel,
-                   (self.temporal_stride, 1, 1), name="conv_a", **kw)(x)
-        x = batch_norm(train, name="norm_a", param_dtype=self.param_dtype)(x)
+        g = 4 if self.packed else 1
+
+        def conv(features, kernel, strides, name):
+            if self.packed:
+                return PackedConv3d(features, tuple(kernel), tuple(strides),
+                                    name=name, **kw)
+            return conv3d(features, kernel, strides, name=name, **kw)
+
+        x = conv(self.dim_inner, self.conv_a_kernel,
+                 (self.temporal_stride, 1, 1), "conv_a")(x)
+        x = batch_norm(train, name="norm_a", param_dtype=self.param_dtype,
+                       phase_groups=g)(x)
         x = nn.relu(x).astype(self.dtype)
-        x = conv3d(self.dim_inner, (1, 3, 3),
-                   (1, self.spatial_stride, self.spatial_stride), name="conv_b", **kw)(x)
-        x = batch_norm(train, name="norm_b", param_dtype=self.param_dtype)(x)
+        x = conv(self.dim_inner, (1, 3, 3),
+                 (1, self.spatial_stride, self.spatial_stride), "conv_b")(x)
+        x = batch_norm(train, name="norm_b", param_dtype=self.param_dtype,
+                       phase_groups=g)(x)
         x = nn.relu(x).astype(self.dtype)
-        x = conv3d(self.dim_out, (1, 1, 1), name="conv_c", **kw)(x)
-        x = batch_norm(train, name="norm_c", param_dtype=self.param_dtype)(x)
+        x = conv(self.dim_out, (1, 1, 1), (1, 1, 1), "conv_c")(x)
+        x = batch_norm(train, name="norm_c", param_dtype=self.param_dtype,
+                       phase_groups=g)(x)
         return x
 
 
@@ -112,6 +125,7 @@ class ResBlock(nn.Module):
     temporal_stride: int = 1
     spatial_stride: int = 1
     use_branch1: bool = False
+    packed: bool = False
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
 
@@ -120,13 +134,19 @@ class ResBlock(nn.Module):
         shortcut = x
         if self.use_branch1:
             stride = (self.temporal_stride, self.spatial_stride, self.spatial_stride)
-            shortcut = conv3d(self.dim_out, (1, 1, 1), stride, name="branch1_conv",
-                              dtype=self.dtype, param_dtype=self.param_dtype)(x)
+            if self.packed:
+                shortcut = PackedConv3d(self.dim_out, (1, 1, 1), stride,
+                                        name="branch1_conv", dtype=self.dtype,
+                                        param_dtype=self.param_dtype)(x)
+            else:
+                shortcut = conv3d(self.dim_out, (1, 1, 1), stride, name="branch1_conv",
+                                  dtype=self.dtype, param_dtype=self.param_dtype)(x)
             shortcut = batch_norm(train, name="branch1_norm",
-                                  param_dtype=self.param_dtype)(shortcut)
+                                  param_dtype=self.param_dtype,
+                                  phase_groups=4 if self.packed else 1)(shortcut)
         branch2 = BottleneckBlock(
             self.dim_inner, self.dim_out, self.conv_a_kernel,
-            self.temporal_stride, self.spatial_stride,
+            self.temporal_stride, self.spatial_stride, packed=self.packed,
             dtype=self.dtype, param_dtype=self.param_dtype, name="branch2",
         )(x, train)
         # Residual add + relu stay in the compute dtype: both operands are already
@@ -144,11 +164,18 @@ class ResStage(nn.Module):
     conv_a_kernel: Tuple[int, int, int]
     temporal_stride: int = 1
     spatial_stride: int = 1
+    packed: bool = False  # run the whole stage in the 2x2 s2d domain: pack at
+    # entry, unpack at exit. Worthwhile when 4*dim_out <= ~256: small-channel
+    # (fast-pathway) tensors otherwise pad to the 128-lane tile, wasting up to
+    # 16x HBM bytes and MXU occupancy per conv (profiled 1-5 TFLOP/s).
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool):
+        packed = self.packed and x.shape[-3] % 2 == 0 and x.shape[-2] % 2 == 0
+        if packed:
+            x = pack_2x2(x)
         for j in range(self.depth):
             x = ResBlock(
                 self.dim_inner,
@@ -157,10 +184,13 @@ class ResStage(nn.Module):
                 temporal_stride=self.temporal_stride if j == 0 else 1,
                 spatial_stride=self.spatial_stride if j == 0 else 1,
                 use_branch1=(j == 0),
+                packed=packed,
                 dtype=self.dtype,
                 param_dtype=self.param_dtype,
                 name=f"res_block_{j}",
             )(x, train)
+        if packed:
+            x = unpack_2x2(x, self.dim_out)
         return x
 
 
@@ -267,6 +297,8 @@ class SlowFast(nn.Module):
     dropout_rate: float = 0.5
     remat: bool = False  # jax.checkpoint each stage: trade FLOPs for HBM (cfg.TPU.REMAT)
     remat_policy: str = ""  # "conv": save conv outputs, recompute BN/ReLU only
+    pack_fast: bool = True  # run small-channel fast-pathway stages in the 2x2
+    # s2d domain (cfg.TPU.PACK_FAST; see ResStage.packed)
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
 
@@ -342,6 +374,7 @@ class SlowFast(nn.Module):
                 conv_a_kernel=FAST_CONV_A[idx],
                 temporal_stride=TEMPORAL_STRIDES[idx],
                 spatial_stride=SPATIAL_STRIDES[idx],
+                packed=self.pack_fast and (stage_dim_out // reduction) * 4 <= 256,
                 name=f"blocks_{idx + 1}_pathway_1",
                 **kw,
             )(xs[1], train)
@@ -375,6 +408,7 @@ def init_my_slowfast(cfg, input_channels=(5, 15), stem_dim_outs=(64, 8)) -> Slow
         fusion_mode=str(cfg.MODEL.FUSION_MODE),
         remat=bool(cfg.TPU.REMAT),
         remat_policy=str(cfg.TPU.REMAT_POLICY),
+        pack_fast=bool(cfg.TPU.PACK_FAST),
         dtype=jnp.dtype(cfg.TPU.COMPUTE_DTYPE),
         param_dtype=jnp.dtype(cfg.TPU.PARAM_DTYPE),
     )
