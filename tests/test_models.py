@@ -264,3 +264,17 @@ def test_slowfast_packed_fast_pathway_matches_unpacked():
     for a, b in zip(jax.tree.leaves(ws), jax.tree.leaves(gs)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-5)
+
+    # gradient parity (params): same loss surface either way
+    def loss(mod, params):
+        out, _ = mod.apply({"params": params, "batch_stats": v["batch_stats"]},
+                           xs, train=True, mutable=["batch_stats"],
+                           rngs={"dropout": jax.random.PRNGKey(1)})
+        return jnp.sum(out.astype(jnp.float32) ** 2)
+
+    g0 = jax.grad(lambda p: loss(m0, p))(v["params"])
+    g1 = jax.grad(lambda p: loss(m1, p))(v["params"])
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        # f32 reassociation through a deep net; grads are O(1-10)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=1e-3)
