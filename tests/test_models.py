@@ -278,3 +278,20 @@ def test_slowfast_packed_fast_pathway_matches_unpacked():
         # f32 reassociation through a deep net; grads are O(1-10)
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-3, atol=1e-3)
+
+
+def test_packed_stage_odd_cell_count_falls_back():
+    """With spatial_stride=2 and H % 4 != 0, the packed path would emit one
+    extra output row vs the unpacked conv (stride-2 packed conv rounds the odd
+    cell count up); the guard must fall back to unpacked and match shapes."""
+    from video_classification_tpu.models.slowfast import ResStage
+
+    x = jnp.asarray(np.random.RandomState(0).randn(1, 2, 18, 18, 8).astype(np.float32))
+    kw = dict(depth=1, dim_inner=8, dim_out=32, conv_a_kernel=(3, 1, 1),
+              spatial_stride=2)
+    ref = ResStage(packed=False, **kw)
+    v = ref.init(jax.random.PRNGKey(0), x, train=False)
+    want = ref.apply(v, x, train=False)
+    got = ResStage(packed=True, **kw).apply(v, x, train=False)
+    assert got.shape == want.shape == (1, 2, 9, 9, 32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)

@@ -23,6 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..pipeline.iuv_contract import IUVDetection
+from ..utils.chunked import run_chunked
 from .densepose import DensePoseRCNN
 
 # detectron2 Base-RCNN-FPN pixel stats for caffe2-converted (MSRA) backbones:
@@ -73,9 +74,9 @@ class DensePoseIUVProvider:
         # replaces per-frame host<->device round trips with one per chunk —
         # the dominant cost of the per-frame loop on a remote-tunnel device.
         self.batch_size = max(1, int(batch_size))
-        self._apply = jax.jit(
-            lambda variables, img: self.model.apply(variables, img, train=False)
-        )
+        # Always vmapped at the full batch_size — utils/chunked.run_chunked
+        # pads the remainder, so ONE program is compiled regardless of the
+        # per-call frame count (a recompile costs minutes on the tunnel).
         self._apply_batch = jax.jit(
             lambda variables, imgs: jax.vmap(
                 lambda im: self.model.apply(variables, im, train=False)
@@ -114,28 +115,15 @@ class DensePoseIUVProvider:
             scales.append(scale)
         self._ensure_variables(prepped[0])
 
-        # Batched inference in fixed-size chunks (last chunk pads by repeating
-        # frame 0; padded rows are discarded). One transfer + one program per
-        # chunk instead of per frame.
-        results = []
-        bs = min(self.batch_size, n)
-        for lo in range(0, n, bs):
-            chunk = prepped[lo:lo + bs]
-            pad = bs - len(chunk)
-            batch = np.stack(chunk + [prepped[0]] * pad)
-            if bs == 1:
-                res = jax.device_get(self._apply(self.variables, jnp.asarray(batch[0])))
-                results.append(jax.tree.map(lambda a: a[None], res))
-            else:
-                results.append(jax.device_get(
-                    self._apply_batch(self.variables, jnp.asarray(batch))))
-            if pad:
-                results[-1] = jax.tree.map(lambda a: a[:-pad], results[-1])
+        # Batched inference in fixed-size chunks (utils/chunked: one transfer
+        # + one statically-shaped program per chunk instead of per frame).
+        results = jax.device_get(run_chunked(
+            lambda imgs: self._apply_batch(self.variables, imgs),
+            np.stack(prepped), self.batch_size))
 
         out: List[IUVDetection] = []
         for i in range(n):
-            res = jax.tree.map(lambda a: a[i - (i // bs) * bs],
-                               results[i // bs])
+            res = jax.tree.map(lambda a: a[i], results)
             scale = scales[i]
             valid = res["valid"]
             boxes = res["boxes"][valid] / scale  # back to original frame coords

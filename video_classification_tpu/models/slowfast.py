@@ -173,7 +173,12 @@ class ResStage(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool):
-        packed = self.packed and x.shape[-3] % 2 == 0 and x.shape[-2] % 2 == 0
+        # Pack only when the packed cell count stays divisible through the
+        # stage's spatial stride: with stride 2 and an odd cell count the
+        # strided packed conv rounds up and unpack emits one extra row/col
+        # vs the unpacked path (needs H, W % (2 * stride) == 0).
+        div = 2 * self.spatial_stride
+        packed = self.packed and x.shape[-3] % div == 0 and x.shape[-2] % div == 0
         if packed:
             x = pack_2x2(x)
         for j in range(self.depth):

@@ -40,6 +40,7 @@ from ..config.crop_cfg import crop_part_args, crop_resize_dict
 from ..data.dataset import MISSING_FILL, NUM_MODALITY_CHANNELS
 from ..ops.flow import FlowParams
 from ..ops.sampling import random_clip_indices, uniform_clip_indices
+from ..utils.chunked import run_chunked
 from ..utils.labels import get_labels
 from .device_pipeline import Detections, preprocess_clip_on_device
 
@@ -135,10 +136,10 @@ class DensePoseOnlineDetector:
             return (res["boxes"][best], res["valid"][best],
                     res["charts"][best], jnp.stack([res["u"][best], res["v"][best]]))
 
-        self._one = jax.jit(one)
         # Fixed-size frame batches: vmap over the static-shape single-frame
         # graph — batched convs on the MXU, one transfer per chunk instead of
-        # one jit round-trip per frame.
+        # one jit round-trip per frame; utils/chunked pads the remainder so
+        # one program serves every call.
         self.batch_size = max(1, int(batch_size))
         self._batch = jax.jit(
             lambda variables, frames: jax.vmap(partial(one, variables))(frames)
@@ -148,24 +149,9 @@ class DensePoseOnlineDetector:
         if self.variables is None:
             x = jnp.asarray(padded_frames_bgr[0], jnp.float32)
             self.variables = self.model.init(jax.random.PRNGKey(0), x, train=False)
-        s = padded_frames_bgr.shape[0]
-        bs = min(self.batch_size, s)
-        outs = []
-        for lo in range(0, s, bs):
-            chunk = padded_frames_bgr[lo:lo + bs]
-            pad = bs - chunk.shape[0]
-            if pad:  # repeat the last frame; padded rows dropped below
-                chunk = np.concatenate([chunk, np.repeat(chunk[-1:], pad, 0)])
-            if bs == 1:
-                o = self._one(self.variables, jnp.asarray(chunk[0]))
-                o = jax.tree.map(lambda a: a[None], o)
-            else:
-                o = self._batch(self.variables, jnp.asarray(chunk))
-            if pad:
-                o = jax.tree.map(lambda a: a[:-pad], o)
-            outs.append(o)
-        boxes, valid, charts, uv = (
-            jnp.concatenate([o[i] for o in outs]) for i in range(4))
+        boxes, valid, charts, uv = run_chunked(
+            partial(self._batch, self.variables), padded_frames_bgr,
+            self.batch_size)
         return Detections(boxes_xyxy=boxes, valid=valid,
                           charts=charts.astype(jnp.int32), uv=uv)
 
