@@ -3,8 +3,8 @@
 Primary metric (the JSON ``value``): train-step clips/sec/chip for the flagship
 slowfast-HTAH stream (depth-50 dual-pathway SlowFast, 192 px crops, CLIP_LEN=20)
 running the full fused train step — device-side normalize + RandomCrop + forward
-+ CE + backward + Adam — at the largest batch that fits (64/55 with TPU.REMAT as
-the fallback ladder; the reference's flagship batch is 55, config/slowfast-HTAH.yaml).
++ CE + backward + Adam — over a measured batch ladder (16 first: larger batches
+hit peak-HBM activation compression and run slower; see main()).
 
 Extra fields in the same JSON line:
   * ``model_tflops_per_sec``: measured model FLOP/s from XLA's cost analysis of

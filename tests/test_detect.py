@@ -179,11 +179,12 @@ def test_multilevel_roi_align_matches_per_level_select():
     feats = [jnp.asarray(rng.rand(1, 32 // (2 ** i), 48 // (2 ** i), 5)
                          .astype(np.float32)) for i in range(4)]
     strides = [4, 8, 16, 32]
-    # Box sizes spanning all levels (level = floor(4 + log2(sqrt(wh)/224))).
+    # Box sizes spanning all levels: index = clamp(floor(4 + log2(
+    # sqrt(wh)/224)), 2, 5) - 2, so P2 < 112px <= P3 < 224px <= P4 < 448px <= P5.
     boxes = jnp.asarray([
-        [4.0, 4.0, 40.0, 40.0],       # tiny -> P2
-        [0.0, 0.0, 120.0, 100.0],     # -> P3-ish
-        [0.0, 0.0, 190.0, 190.0],     # ~canonical -> P4
+        [4.0, 4.0, 40.0, 40.0],       # 36px -> P2
+        [0.0, 0.0, 150.0, 150.0],     # -> P3
+        [0.0, 0.0, 300.0, 300.0],     # -> P4
         [0.0, 0.0, 1000.0, 900.0],    # huge -> P5
     ], jnp.float32)
 
@@ -193,8 +194,13 @@ def test_multilevel_roi_align_matches_per_level_select():
               for f, s in zip(feats, strides)]
     bw = np.maximum(np.asarray(boxes)[:, 2] - np.asarray(boxes)[:, 0], 1.0)
     bh = np.maximum(np.asarray(boxes)[:, 3] - np.asarray(boxes)[:, 1], 1.0)
-    level = np.clip(np.floor(2 + np.log2(np.sqrt(bw * bh) / 224.0 + 1e-9)) + 2,
+    # detectron2 assign_boxes_to_levels: clamp(floor(4 + log2(sqrt(wh)/224)),
+    # 2, 5) - 2.
+    level = np.clip(np.floor(4 + np.log2(np.sqrt(bw * bh) / 224.0 + 1e-8)) - 2,
                     0, 3).astype(int)
+    # Pin the absolute assignments, not just self-consistency (a shared wrong
+    # formula in got/want would otherwise cancel out).
+    np.testing.assert_array_equal(level, [0, 1, 2, 3])
     want = np.stack([pooled[level[i]][i] for i in range(4)])
     np.testing.assert_allclose(got, want, atol=1e-5)
 

@@ -74,3 +74,17 @@ def test_fake_two_host_assembly_matches_global(devices):
     # A global-view jit program consumes the assembled array identically.
     f = jax.jit(lambda a: jnp.sum(a, axis=1))
     np.testing.assert_allclose(np.asarray(f(fake["x"])), x.sum(axis=1))
+
+
+def test_host_batch_indices_small_remainder_fills_full_batch():
+    """A final block smaller than half the global batch must still tile up to
+    the full batch (a single slice-append can only double it), so every host
+    gets equal local shard sizes."""
+    from video_classification_tpu.parallel.multihost import host_batch_indices
+
+    order = list(range(19))  # last block = 3 rows, global batch 8
+    b0 = host_batch_indices(order, 8, n_processes=2, index=0, drop_last=False)
+    b1 = host_batch_indices(order, 8, n_processes=2, index=1, drop_last=False)
+    assert [len(b) for b in b0] == [4, 4, 4]
+    assert [len(b) for b in b1] == [4, 4, 4]
+    assert b0[-1] + b1[-1] == [16, 17, 18, 16, 17, 18, 16, 17]

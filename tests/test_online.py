@@ -51,14 +51,20 @@ def _online_cfg(tmp_path, clip_len=2, num_frames=12):
 def test_virtual_window_layout(tmp_path):
     cfg = _online_cfg(tmp_path)
     ds = OnlineVideoDataset(cfg, "train", detector=SyntheticOnlineDetector())
-    # Contiguous sampled clip [1, 2] at interval 5: virtual window must end each
-    # segment exactly on the sampled raw frame with its true predecessors.
+    # Contiguous sampled clip [1, 2] at interval 5: each sampled raw frame
+    # (5, 10) ends its segment preceded by its interval-1 true companions plus
+    # one extra leading frame, so even sampled frame 0's first companion flow
+    # is the real pair (0, 1) — matching the offline 2_Flow chain.
     raw = ds._virtual_window([1, 2], t_video=100)
-    assert list(raw) == [5, 6, 7, 8, 9, 10]
-    # Wraparound seam: companions still precede each sampled frame.
+    assert list(raw) == [0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10]
+    # Mid-video window: the leading context frames are real, not clamped.
+    raw = ds._virtual_window([3, 4], t_video=100)
+    assert list(raw) == [10, 11, 12, 13, 14, 15, 16, 17, 18, 19, 20]
+    # Wraparound seam: companions still precede each sampled frame; the
+    # segment for sampled index 0 clamps at the video start (as offline does).
     raw = ds._virtual_window([3, 0], t_video=100)
-    assert raw[0] == 15 and raw[-1] == 0
-    assert list(raw[1:]) == [0, 0, 0, 0, 0]  # clamped at video start
+    assert raw[0] == 10 and raw[5] == 15 and raw[-1] == 0
+    assert list(raw[6:]) == [0, 0, 0, 0, 0]  # clamped at video start
 
 
 def test_online_clip_contract(tmp_path):

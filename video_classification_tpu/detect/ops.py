@@ -132,7 +132,12 @@ def multilevel_roi_align(
     boxes = boxes_xyxy.astype(jnp.float32)
     bw = jnp.maximum(boxes[:, 2] - boxes[:, 0], 1.0)
     bh = jnp.maximum(boxes[:, 3] - boxes[:, 1], 1.0)
-    k = jnp.floor(canonical_level + jnp.log2(jnp.sqrt(bw * bh) / 224.0 + 1e-9)) + 2
+    # detectron2 assign_boxes_to_levels (modeling/poolers.py): index =
+    # clamp(floor(k0 + log2(sqrt(wh)/224 + eps)), min_level, max_level)
+    # - min_level, with k0=4, min_level=2 for P2..P5 — i.e. floor(
+    # canonical_level + log2(...)) with canonical_level = k0 - min_level = 2.
+    # (A canonical 224px box pools from P4 = index 2; 112px from P3.)
+    k = jnp.floor(canonical_level + jnp.log2(jnp.sqrt(bw * bh) / 224.0 + 1e-8))
     level = jnp.clip(k, 0, n_levels - 1).astype(jnp.int32)  # (N,)
 
     scale = inv_strides[level]                       # (N,)

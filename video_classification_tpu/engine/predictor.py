@@ -67,12 +67,22 @@ class Predictor:
             make_online_detector,
         )
 
-        if self._detector is None:
-            self._detector = make_online_detector(self.cfg)
-        fp = self._flow_params or flow_params_from_cfg(self.cfg)
         labels = [(str(m_path), str(k_path or MISSING_DEPTH), 1)]
-        return OnlineVideoDataset(self.cfg, "test", detector=self._detector,
-                                  flow_params=fp, labels=labels)
+        if getattr(self, "_ds", None) is None:
+            if self._detector is None:
+                self._detector = make_online_detector(self.cfg)
+            fp = self._flow_params or flow_params_from_cfg(self.cfg)
+            self._ds = OnlineVideoDataset(self.cfg, "test",
+                                          detector=self._detector,
+                                          flow_params=fp, labels=labels)
+        else:
+            # Reuse the dataset (its jitted fused-preprocessing graph compiles
+            # once per Predictor, not once per video — a compile is minutes
+            # through the TPU tunnel); only the video under scoring changes.
+            self._ds.labels = labels
+            self._ds._decode_cache.clear()
+            self._ds._seq_len_cache.clear()
+        return self._ds
 
     def clip_scores(self, m_path, k_path=None) -> np.ndarray:
         """(n_clips, num_class) softmax scores for every uniform clip window."""

@@ -31,7 +31,6 @@ from typing import Dict, Iterable, List, Tuple
 
 import numpy as np
 
-_ENC_LAYERS = (64, 64, 96, 128, 256)
 _BLOCKS = [(64, 64, 1), (64, 64, 1), (64, 96, 2), (96, 96, 1),
            (96, 128, 2), (128, 128, 1)]  # (in, out, stride) per residual unit
 

@@ -97,7 +97,11 @@ def host_batch_indices(order: Sequence[int], global_batch: int,
         if len(block) < global_batch:
             if drop_last:
                 break
-            block = block + block[: global_batch - len(block)]
+            # Tile the remainder up to the full batch (a single slice-append
+            # can only double it — e.g. 3 rows can't fill 8 that way, which
+            # would hand the hosts unequal local shard sizes).
+            reps = -(-global_batch // len(block))
+            block = (block * reps)[:global_batch]
         out.append(block[i * per_host:(i + 1) * per_host])
     return out
 

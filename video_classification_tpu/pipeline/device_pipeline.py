@@ -170,11 +170,21 @@ def preprocess_clip_on_device(
     flow_params: FlowParams = DEFAULT_PARAMS,
     flow_images: jnp.ndarray = None,  # optional precomputed (T_raw, H, W, 3) uint8
     flow_pair_chunk: int = 4,
+    sampled_start: int = 0,
 ) -> Dict[str, jnp.ndarray]:
-    """Returns {crop_folder: (S, size, size, 21) uint8} + {'<folder>_valid': (S,)}."""
+    """Returns {crop_folder: (S, size, size, 21) uint8} + {'<folder>_valid': (S,)}.
+
+    ``sampled_start`` is the window position of the first sampled frame: 0 for
+    a raw video fed from its first frame (the flow companions of sampled frame
+    0 then clamp to the zero self-flow, exactly like the reference at a video
+    start, chalearn_iuv_to_crop.py:30 / chalearn_video_to_flow.py:62-66);
+    ``interval`` for a mid-video virtual window carrying ``interval`` leading
+    context frames so every companion flow is a real frame pair
+    (pipeline/online.OnlineVideoDataset._virtual_window).
+    """
     parts = list(parts) if parts is not None else crop_part_args
     t_raw, h, w = frames_bgr.shape[:3]
-    sampled = jnp.arange(0, t_raw, interval)
+    sampled = jnp.arange(sampled_start, t_raw, interval)
     s = sampled.shape[0]
     hm = detections.charts.shape[-1]
     canvas_hw = (2 * h, 2 * w)

@@ -192,11 +192,15 @@ class OnlineVideoDataset:
             raise ValueError(f"{self.crop_folder} is not a part-crop stream")
         self._parts = tuple(parts)
         self._decode_cache: Dict[int, Tuple[np.ndarray, np.ndarray]] = {}
+        self._seq_len_cache: Dict[int, int] = {}
         self._preprocess = jax.jit(partial(
             preprocess_clip_on_device,
             interval=self.interval,
             parts=self._parts,
             flow_params=self.flow_params,
+            # The virtual window carries `interval` leading context frames so
+            # every sampled frame's flow companions are real frame pairs.
+            sampled_start=self.interval,
         ))
 
     def __len__(self) -> int:
@@ -237,20 +241,45 @@ class OnlineVideoDataset:
         return rgb, depth
 
     def _seq_len_sampled(self, index: int) -> int:
-        rgb, _ = self._decode(index)
-        return max(-(-rgb.shape[0] // self.interval), 1)
+        # Cached, and counted from container metadata when possible: eval
+        # batch-packing asks every video for its clip count up front
+        # (data/dataset.eval_batches), which must not cost a full decode of
+        # the test set per epoch.
+        if index in self._seq_len_cache:
+            return self._seq_len_cache[index]
+        if index in self._decode_cache:
+            n = self._decode_cache[index][0].shape[0]
+        else:
+            import cv2
+
+            m_rel, _, _ = self.labels[index]
+            cap = cv2.VideoCapture(
+                str(Path(self.cfg.CHALEARN.ROOT, self.cfg.CHALEARN.SAMPLE, m_rel)))
+            n = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+            cap.release()
+            if n <= 0:  # unreadable metadata: fall back to a real decode
+                n = self._decode(index)[0].shape[0]
+        val = max(-(-n // self.interval), 1)
+        self._seq_len_cache[index] = val
+        return val
 
     # -- clip assembly -----------------------------------------------------------
 
     def _virtual_window(self, sampled_idx: List[int], t_video: int) -> np.ndarray:
         """Raw-frame indices of the virtual window: sampled frame k sits at
-        virtual position k*interval, preceded by its interval-1 flow companions."""
-        n = (len(sampled_idx) - 1) * self.interval + 1
+        virtual position (k+1)*interval, preceded by its interval-1 flow
+        companions AND one extra leading frame (position k*interval+1's flow
+        is the real pair (raw-interval, raw-interval+1), matching the offline
+        2_Flow chain, chalearn_iuv_to_crop.py:25-31); indices clamp at the
+        video start where the reference's flows clamp too."""
+        iv = self.interval
+        n = len(sampled_idx) * iv + 1
         raw = np.zeros((n,), np.int64)
-        for j in range(n):
-            k = -(-j // self.interval)  # segment ending at k*interval
-            delta = k * self.interval - j
-            raw[j] = sampled_idx[k] * self.interval - delta
+        raw[0] = sampled_idx[0] * iv - iv
+        for j in range(1, n):
+            k = (j - 1) // iv
+            delta = (k + 1) * iv - j
+            raw[j] = sampled_idx[k] * iv - delta
         return np.clip(raw, 0, t_video - 1)
 
     def _make_clip(self, index: int, sampled_idx: List[int]) -> np.ndarray:
@@ -259,7 +288,7 @@ class OnlineVideoDataset:
         frames = rgb[raw_idx]
         depth_w = depth[raw_idx]
         s = len(sampled_idx)
-        sampled_pos = np.arange(0, frames.shape[0], self.interval)
+        sampled_pos = np.arange(self.interval, frames.shape[0], self.interval)
         assert len(sampled_pos) == s
         h, w = frames.shape[1:3]
         padded = np.zeros((s, 2 * h, 2 * w, 3), np.uint8)
