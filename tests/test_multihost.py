@@ -88,3 +88,108 @@ def test_host_batch_indices_small_remainder_fills_full_batch():
     assert [len(b) for b in b0] == [4, 4, 4]
     assert [len(b) for b in b1] == [4, 4, 4]
     assert b0[-1] + b1[-1] == [16, 17, 18, 16, 17, 18, 16, 17]
+
+
+def _synthetic_cfg(tmp_path, batch=8):
+    from video_classification_tpu.config import get_cfg
+
+    cfg = get_cfg()
+    cfg.CHALEARN.ROOT = str(tmp_path)
+    cfg.CHALEARN.NUM_CLASS = 3
+    cfg.CHALEARN.CLIP_LEN = 2
+    cfg.CHALEARN.BATCH_SIZE = batch
+    cfg.MODEL.NAME = "slowfast-mh"
+    cfg.MODEL.R3D_INPUT = "CropLHand"
+    cfg.MODEL.DEPTH = 18
+    cfg.TPU.COMPUTE_DTYPE = "float32"
+    cfg.DATA.SYNTHETIC_NUM_VIDEOS = 20
+    cfg.DATA.SYNTHETIC_SEQ_LEN = 6
+    return cfg
+
+
+def test_train_batches_for_host_assembles_to_single(tmp_path, devices):
+    """VERDICT r2 next #4: two fake hosts' feeder blocks, assembled, equal the
+    single-host run of the same feeder — rows AND device layout."""
+    from video_classification_tpu.data import ChalearnVideoDataset
+    from video_classification_tpu.data.dataset import train_batches_for_host
+
+    cfg = _synthetic_cfg(tmp_path)
+    ds = ChalearnVideoDataset(cfg, "train")
+    full = list(train_batches_for_host(ds, 8, seed=3, n_processes=1, index=0))
+    p0 = list(train_batches_for_host(ds, 8, seed=3, n_processes=2, index=0))
+    p1 = list(train_batches_for_host(ds, 8, seed=3, n_processes=2, index=1))
+    assert len(full) == len(p0) == len(p1) == 2  # 20 videos, drop_last
+    for f, a, b in zip(full, p0, p1):
+        np.testing.assert_array_equal(
+            f["x"], np.concatenate([a["x"], b["x"]], axis=0))
+        np.testing.assert_array_equal(
+            f["label"], np.concatenate([a["label"], b["label"]]))
+    # Device layout: per-host assembly == single-host shard_batch.
+    mesh = _mesh(devices)
+    fake = assemble_fake_multihost(mesh, [p0[0], p1[0]])
+    want = shard_batch(mesh, full[0])
+    for k in ("x", "label"):
+        np.testing.assert_array_equal(np.asarray(fake[k]), np.asarray(want[k]))
+        assert fake[k].sharding.is_equivalent_to(want[k].sharding, fake[k].ndim)
+
+
+def test_trainer_multihost_feeding(tmp_path, devices, monkeypatch):
+    """Trainer wiring: with a faked 2-process topology, train_epoch feeds
+    host-local blocks through global_batch_from_local and run_eval slices its
+    row range — no hand-written loop (parallel/multihost usage block)."""
+    from video_classification_tpu.data.dataset import train_batches_for_host
+    from video_classification_tpu.engine import Trainer
+    from video_classification_tpu.parallel import multihost
+
+    monkeypatch.setattr(multihost, "process_count", lambda: 2)
+    monkeypatch.setattr(multihost, "process_index", lambda: 1)
+    captured = []
+
+    def fake_global_from_local(mesh, local):
+        # One real process: tile this host's half up to the global batch so
+        # the jit program runs; the capture is what the test checks.
+        captured.append({k: np.asarray(v) for k, v in local.items()})
+        full = {k: np.concatenate([np.asarray(v)] * 2, axis=0)
+                for k, v in local.items()}
+        return shard_batch(mesh, full)
+
+    monkeypatch.setattr(multihost, "global_batch_from_local",
+                        fake_global_from_local)
+
+    cfg = _synthetic_cfg(tmp_path)
+    cfg.DEBUG = True  # no checkpoint writes; 1 batch/epoch, capped eval
+    trainer = Trainer(cfg)
+    assert trainer.n_processes == 2 and trainer.process_index == 1
+    trainer.train_epoch(0)
+    # The captured local rows are exactly host 1's feeder block.
+    from video_classification_tpu.data import ChalearnVideoDataset
+
+    ds = ChalearnVideoDataset(cfg, "train")
+    want = next(iter(train_batches_for_host(
+        ds, 8, seed=int(cfg.TPU.SEED), n_processes=2, index=1)))
+    got = captured[0]
+    assert got["x"].shape[0] == 4  # half the global batch
+    np.testing.assert_array_equal(got["x"], want["x"])
+    np.testing.assert_array_equal(got["label"], want["label"])
+    np.testing.assert_array_equal(got["weight"], np.ones(4, np.float32))
+
+    captured.clear()
+    y = trainer.run_eval()
+    assert captured, "eval did not go through global_batch_from_local"
+    for local in captured:
+        assert local["x"].shape[0] == 4  # row slice, not the full batch
+    assert 0.0 <= y["acc"] <= 1.0
+
+
+def test_trainer_multihost_batch_divisibility(tmp_path, devices, monkeypatch):
+    from video_classification_tpu.engine import Trainer
+    from video_classification_tpu.parallel import multihost
+
+    monkeypatch.setattr(multihost, "process_count", lambda: 2)
+    monkeypatch.setattr(multihost, "process_index", lambda: 0)
+    cfg = _synthetic_cfg(tmp_path, batch=12)  # 12 % 8 devices != 0
+    cfg.DEBUG = True
+    import pytest
+
+    with pytest.raises(ValueError, match="divisible"):
+        Trainer(cfg)

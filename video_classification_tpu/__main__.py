@@ -130,6 +130,21 @@ def main(argv=None):
 
     args = parser.parse_args(argv)
 
+    if args.cmd in ("train", "train-parts", "train-parallel", "eval"):
+        # Multi-process SPMD entry (parallel/multihost): a no-op unless a
+        # coordinator is configured (JAX_COORDINATOR_ADDRESS +
+        # JAX_NUM_PROCESSES + JAX_PROCESS_ID, or TPU pod auto-detection).
+        # Each process then runs this same CLI command; the Trainer feeds
+        # per-host batch shards automatically.
+        from .parallel.multihost import initialize_distributed
+
+        if initialize_distributed():
+            import jax
+
+            print(f"multi-host: process {jax.process_index()}/"
+                  f"{jax.process_count()}, {jax.local_device_count()} local "
+                  f"of {jax.device_count()} devices")
+
     if args.cmd == "train":
         from .engine import Trainer
 

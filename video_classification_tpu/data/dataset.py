@@ -210,6 +210,46 @@ def train_batches(
         }
 
 
+def train_batches_for_host(
+    dataset: ChalearnVideoDataset,
+    global_batch: int,
+    seed: int = 0,
+    n_processes: Optional[int] = None,
+    index: Optional[int] = None,
+    shuffle: bool = True,
+    drop_last: bool = True,
+) -> Iterator[Dict[str, np.ndarray]]:
+    """Host-local train feeding for multi-process SPMD.
+
+    Every process runs this with the same ``seed``: the shuffled epoch order is
+    identical everywhere, `parallel.multihost.host_batch_indices` hands process
+    p the contiguous sub-block of each global batch that lands on its devices,
+    and each clip's RNG is derived from (seed, dataset index) alone — so the
+    rows any host materializes for a given global position are bit-identical
+    no matter which host loads them. With ``n_processes=1`` this produces
+    exactly the global batches the multi-host assembly must reconstruct
+    (tested in test_multihost.py).
+
+    Yields {'x', 'label'} with this host's rows only; feed through
+    `parallel.multihost.global_batch_from_local`.
+    """
+    from ..parallel.multihost import host_batch_indices
+
+    order = list(range(len(dataset)))
+    if shuffle:
+        pyrandom.Random(seed).shuffle(order)
+    for block in host_batch_indices(order, global_batch, n_processes, index,
+                                    drop_last=drop_last):
+        samples = [
+            dataset.get_train_clip(i, pyrandom.Random(seed * 1_000_003 + i))
+            for i in block
+        ]
+        yield {
+            "x": np.stack([s["x"] for s in samples]),
+            "label": np.asarray([s["label"] for s in samples], np.int32),
+        }
+
+
 def eval_batches(
     dataset: ChalearnVideoDataset,
     batch_size: int,

@@ -25,16 +25,21 @@ class _Error:
         self.exc = exc
 
 
-def prefetch_to_device(batches: Iterator[Any], mesh, depth: int = 2) -> Iterator[Any]:
+def prefetch_to_device(batches: Iterator[Any], mesh, depth: int = 2,
+                       put=None) -> Iterator[Any]:
     """Wrap a host batch iterator: batches arrive already sharded on device.
 
     The producer thread performs shard_batch (host->HBM transfer starts
     asynchronously inside device_put), so transfer of batch N+1 overlaps the
-    computation of batch N.
+    computation of batch N. ``put(mesh, batch)`` overrides the transfer —
+    the multi-host Trainer passes `multihost.global_batch_from_local` so each
+    process uploads only its local rows.
     """
+    if put is None:
+        put = shard_batch
     if depth <= 0:
         for batch in batches:
-            yield shard_batch(mesh, batch)
+            yield put(mesh, batch)
         return
 
     q: "queue.Queue" = queue.Queue(maxsize=depth)
@@ -42,7 +47,7 @@ def prefetch_to_device(batches: Iterator[Any], mesh, depth: int = 2) -> Iterator
     def producer():
         try:
             for batch in batches:
-                q.put(shard_batch(mesh, batch))
+                q.put(put(mesh, batch))
         except BaseException as e:  # surfaced in the consumer
             q.put(_Error(e))
             return

@@ -30,9 +30,14 @@ import numpy as np
 import optax
 from flax.training import train_state
 
-from ..data.dataset import ChalearnVideoDataset, eval_batches, train_batches
+from ..data.dataset import (
+    ChalearnVideoDataset,
+    eval_batches,
+    train_batches,
+    train_batches_for_host,
+)
 from ..ops.segment import per_video_accuracy, segment_ids_from_counts
-from ..parallel import make_mesh, replicated, shard_batch
+from ..parallel import make_mesh, multihost, replicated, shard_batch
 from ..utils.logging import MetricsLogger
 from .checkpoint import load_checkpoint, save_checkpoint
 from .model_manager import ModelManager
@@ -74,6 +79,20 @@ class Trainer:
         self.mm = model_manager if model_manager is not None else ModelManager(cfg)
         self.model = self.mm.init_model()
         self.mesh = mesh if mesh is not None else make_mesh(cfg)
+        # Multi-process SPMD (parallel/multihost): the CLI calls
+        # initialize_distributed() before constructing the Trainer; when more
+        # than one process participates, each feeds only the batch rows that
+        # live on its own devices (train_epoch/run_eval below). Read through
+        # the module so tests can inject a fake process topology.
+        self.n_processes = multihost.process_count()
+        self.process_index = multihost.process_index()
+        if self.n_processes > 1:
+            n_dev = int(np.prod(self.mesh.devices.shape))
+            if self.batch_size % n_dev:
+                raise ValueError(
+                    f"multi-host training requires CHALEARN.BATCH_SIZE "
+                    f"({self.batch_size}) divisible by the global device "
+                    f"count ({n_dev}) so every host feeds equal shards")
         self.logger = MetricsLogger.for_model(cfg) if not self.debug else MetricsLogger()
 
         self.rng = jax.random.PRNGKey(int(cfg.TPU.SEED))
@@ -152,6 +171,11 @@ class Trainer:
             )
             return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
 
+        if self.n_processes > 1:
+            # Replicated scores: multi-host device_get can only read
+            # addressable shards, so GSPMD all-gathers the (B, C) score
+            # matrix on device (small) and every process sees the full batch.
+            return jax.jit(step, out_shardings=replicated(self.mesh))
         return jax.jit(step)
 
     def _pad_for_mesh(self, batch: Dict) -> Dict:
@@ -173,20 +197,39 @@ class Trainer:
 
     # -- training ----------------------------------------------------------------
 
+    def _host_local_weight(self, batch: Dict) -> Dict:
+        """Multi-host train batches are always full (host_batch_indices tiles
+        the remainder), so every local row is real: weight/valid all-ones."""
+        n = batch["x"].shape[0]
+        out = dict(batch)
+        out["weight"] = np.ones((n,), np.float32)
+        out["valid"] = np.ones((n,), bool)
+        return out
+
     def train_epoch(self, epoch: int) -> Dict[str, float]:
         losses: List[float] = []
         correct = 0
         count = 0
-        batches = train_batches(
-            self.train_dataset, self.batch_size, seed=int(self.cfg.TPU.SEED) + epoch
-        )
+        seed = int(self.cfg.TPU.SEED) + epoch
         from ..data.pipeline import prefetch_to_device
 
         depth = int(self.cfg.TPU.PREFETCH_DEPTH)
+        if self.n_processes > 1:
+            # Per-host feeding: identical shuffle everywhere, this process
+            # loads + uploads only its contiguous sub-block of each global
+            # batch; global_batch_from_local assembles the logical array.
+            batches = train_batches_for_host(
+                self.train_dataset, self.batch_size, seed=seed,
+                n_processes=self.n_processes, index=self.process_index)
+            feed = prefetch_to_device(
+                map(self._host_local_weight, batches), self.mesh, depth,
+                put=multihost.global_batch_from_local)
+        else:
+            batches = train_batches(self.train_dataset, self.batch_size, seed=seed)
+            feed = prefetch_to_device(
+                map(self._pad_for_mesh, batches), self.mesh, depth)
         pending = []  # device-side metrics; fetched once per epoch (no per-step sync)
-        for sharded in prefetch_to_device(
-            map(self._pad_for_mesh, batches), self.mesh, depth
-        ):
+        for sharded in feed:
             self.rng, step_rng = jax.random.split(self.rng)
             self.state, metrics = self._train_step(
                 self.state, sharded["x"], sharded["label"], sharded["weight"], step_rng
@@ -221,6 +264,8 @@ class Trainer:
         return self.max_historical_acc
 
     def _save(self, epoch: int, acc: float):
+        if self.process_index != 0:  # one writer; params are replicated anyway
+            return
         variables = {
             "params": jax.device_get(self.state.params),
             "batch_stats": jax.device_get(self.state.batch_stats),
@@ -230,6 +275,20 @@ class Trainer:
             self.logger.log("ckpt_saved", path=str(path), acc=acc, epoch=epoch)
 
     # -- evaluation --------------------------------------------------------------
+
+    def _shard_eval_batch(self, padded: Dict) -> Dict:
+        """Single-host: plain shard_batch. Multi-host: every process runs the
+        same deterministic eval packing (eval_batches' plan depends only on
+        cheap clip counts + the seed), then uploads only its own row slice —
+        the host decode is redundant across processes but the device feed is
+        local, and the packing plan never needs cross-host coordination."""
+        if self.n_processes <= 1:
+            return shard_batch(self.mesh, padded)
+        total = padded["x"].shape[0]
+        per = total // self.n_processes
+        lo = self.process_index * per
+        local = {k: np.asarray(v)[lo:lo + per] for k, v in padded.items()}
+        return multihost.global_batch_from_local(self.mesh, local)
 
     def run_eval(self, dataset: Optional[ChalearnVideoDataset] = None,
                  batches: Optional[Iterator] = None,
@@ -248,7 +307,7 @@ class Trainer:
         it = itertools.islice(batches, DEBUG_EVAL_BATCHES) if self.debug else batches
         for batch in it:
             padded = self._pad_for_mesh(batch)
-            sharded = shard_batch(self.mesh, padded)
+            sharded = self._shard_eval_batch(padded)
             scores = self._eval_step(self.state, sharded["x"])
             pending.append((scores, padded["valid"], padded["label"]))
 

@@ -9,14 +9,18 @@ array. Collectives ride ICI within a slice and DCN across slices — configure a
 ('slice', 'data') mesh via cfg.TPU.MESH_SHAPE/MESH_AXES so GSPMD keeps the
 gradient all-reduce hierarchical.
 
-Usage (each process):
+This is wired into the shipped entry points — no hand-written loop needed.
+On every participating host, run the SAME command:
 
-    initialize_distributed(cfg)              # before any jax backend touch
-    mesh = make_mesh(cfg)                    # global mesh over all processes
-    for step_indices in host_batch_indices(order, global_batch, ...):
-        local = load(step_indices)           # this host's rows only
-        batch = global_batch_from_local(mesh, local)   # logical global arrays
-        state, metrics = train_step(state, **batch)    # identical jit program
+    JAX_COORDINATOR_ADDRESS=host0:1234 JAX_NUM_PROCESSES=2 JAX_PROCESS_ID=p \
+        python -m video_classification_tpu train slowfast-HTAH
+
+`__main__` calls :func:`initialize_distributed` (a no-op without a
+coordinator); when ``jax.process_count() > 1`` the Trainer feeds
+`data.dataset.train_batches_for_host` blocks through
+:func:`global_batch_from_local` (engine/trainer.py train_epoch), slices eval
+batches per host (`Trainer._shard_eval_batch`), all-gathers eval scores via a
+replicated out-sharding, and restricts checkpoint writes to process 0.
 
 The Trainer's single-host path (`shard_batch`) is the process_count()==1
 special case of `global_batch_from_local` — both produce a batch-sharded
@@ -51,7 +55,11 @@ def initialize_distributed(cfg=None,
         num_processes = int(os.environ["JAX_NUM_PROCESSES"])
     if process_id is None and os.environ.get("JAX_PROCESS_ID"):
         process_id = int(os.environ["JAX_PROCESS_ID"])
-    tpu_auto = bool(os.environ.get("TPU_WORKER_HOSTNAMES")
+    # TPU pod auto-detection: only when there is more than one worker —
+    # single-host TPU images (including the axon tunnel) set
+    # TPU_WORKER_HOSTNAMES=localhost, which must not trigger a coordinator.
+    hostnames = os.environ.get("TPU_WORKER_HOSTNAMES", "")
+    tpu_auto = bool(len([h for h in hostnames.split(",") if h.strip()]) > 1
                     or os.environ.get("MEGASCALE_COORDINATOR_ADDRESS"))
     if coordinator_address is None and not tpu_auto:
         return False
