@@ -68,21 +68,17 @@ class Predictor:
         )
 
         labels = [(str(m_path), str(k_path or MISSING_DEPTH), 1)]
-        if getattr(self, "_ds", None) is None:
-            if self._detector is None:
-                self._detector = make_online_detector(self.cfg)
-            fp = self._flow_params or flow_params_from_cfg(self.cfg)
-            self._ds = OnlineVideoDataset(self.cfg, "test",
-                                          detector=self._detector,
-                                          flow_params=fp, labels=labels)
-        else:
-            # Reuse the dataset (its jitted fused-preprocessing graph compiles
-            # once per Predictor, not once per video — a compile is minutes
-            # through the TPU tunnel); only the video under scoring changes.
-            self._ds.labels = labels
-            self._ds._decode_cache.clear()
-            self._ds._seq_len_cache.clear()
-        return self._ds
+        if self._detector is None:
+            self._detector = make_online_detector(self.cfg)
+        fp = self._flow_params or flow_params_from_cfg(self.cfg)
+        # A fresh dataset per call: callers holding an earlier return value
+        # keep reading *their* video. Cheap because the expensive state is
+        # shared anyway — the fused-preprocessing jit program is cached at
+        # module level (pipeline/online._jitted_preprocess; a compile is
+        # minutes through the TPU tunnel) and the detector instance (with its
+        # compiled batch program) is this Predictor's.
+        return OnlineVideoDataset(self.cfg, "test", detector=self._detector,
+                                  flow_params=fp, labels=labels)
 
     def clip_scores(self, m_path, k_path=None) -> np.ndarray:
         """(n_clips, num_class) softmax scores for every uniform clip window."""

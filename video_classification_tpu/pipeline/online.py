@@ -27,7 +27,9 @@ clamping the reference applies at video start.
 
 from __future__ import annotations
 
+import functools
 import random as pyrandom
+import warnings
 from functools import partial
 from pathlib import Path
 from typing import Dict, List, Optional, Tuple
@@ -113,16 +115,34 @@ class DensePoseOnlineDetector:
     def __init__(self, cfg, variables=None, depth: int = 101,
                  pre_nms_topk: int = 256, post_nms_topk: int = 64,
                  max_detections: int = 8, chart_pooler_size: int = 28,
-                 batch_size: int = 8):
+                 batch_size: int = 8, allow_random_init: bool = False,
+                 compute_dtype: str = "auto"):
         from ..detect.densepose import DensePoseRCNN
 
         if variables is None and str(cfg.DATA.DENSEPOSE_PKL):
             from ..detect.d2_convert import load_densepose_variables
 
             variables = load_densepose_variables(cfg.DATA.DENSEPOSE_PKL, depth=depth)
+        if variables is None and not allow_random_init:
+            raise ValueError(
+                "DensePoseOnlineDetector has no weights: set DATA.DENSEPOSE_PKL "
+                "to a detectron2 model_final_*.pkl (converted via "
+                "detect/d2_convert) or pass variables=... explicitly. Training "
+                "on a randomly initialized detector produces garbage crops; "
+                "tests that want that must pass allow_random_init=True."
+            )
+        self._allow_random_init = allow_random_init
+        # bfloat16 compute on TPU (like detect/provider): the convs ride the
+        # MXU at 2x; chart_topk=1 because only the argmax-score detection is
+        # kept (the ~30 GFLOP/ROI DeepLab chart head would otherwise run
+        # max_detections times for one consumed result).
+        if compute_dtype == "auto":
+            compute_dtype = ("bfloat16" if jax.default_backend() == "tpu"
+                             else "float32")
         self.model = DensePoseRCNN(
             depth=depth, pre_nms_topk=pre_nms_topk, post_nms_topk=post_nms_topk,
-            max_detections=max_detections, chart_pooler_size=chart_pooler_size)
+            max_detections=max_detections, chart_pooler_size=chart_pooler_size,
+            chart_topk=1, dtype=jnp.dtype(compute_dtype))
         self.heatmap_size = self.model.heatmap_size
         self.variables = variables
         from ..detect.provider import PIXEL_MEAN
@@ -132,9 +152,11 @@ class DensePoseOnlineDetector:
         def one(variables, frame):
             res = self.model.apply(variables, frame.astype(jnp.float32) - mean,
                                    train=False)
+            # Keep order is score-descending, so the best detection is row 0 —
+            # the row chart_topk=1 computed a chart for.
             best = jnp.argmax(res["scores"])
             return (res["boxes"][best], res["valid"][best],
-                    res["charts"][best], jnp.stack([res["u"][best], res["v"][best]]))
+                    res["charts"][0], jnp.stack([res["u"][0], res["v"][0]]))
 
         # Fixed-size frame batches: vmap over the static-shape single-frame
         # graph — batched convs on the MXU, one transfer per chunk instead of
@@ -147,6 +169,7 @@ class DensePoseOnlineDetector:
 
     def __call__(self, padded_frames_bgr: np.ndarray) -> Detections:
         if self.variables is None:
+            assert self._allow_random_init  # constructor enforces the pkl
             x = jnp.asarray(padded_frames_bgr[0], jnp.float32)
             self.variables = self.model.init(jax.random.PRNGKey(0), x, train=False)
         boxes, valid, charts, uv = run_chunked(
@@ -161,8 +184,27 @@ def make_online_detector(cfg):
     if kind == "synthetic":
         return SyntheticOnlineDetector()
     if kind == "densepose":
+        # Raises unless DATA.DENSEPOSE_PKL is set: silently training on a
+        # random-init detector must never happen through the config path.
         return DensePoseOnlineDetector(cfg)
     raise ValueError(f"unknown DATA.ONLINE_DETECTOR: {kind}")
+
+
+@functools.lru_cache(maxsize=None)
+def _jitted_preprocess(interval: int, parts_key, flow_params: FlowParams,
+                       sampled_start: int):
+    """One compiled fused-preprocessing graph per distinct configuration.
+
+    Shared across OnlineVideoDataset instances (jit caches by callable
+    identity, so a per-instance functools.partial would recompile per
+    instance — minutes through the TPU tunnel; engine/predictor.py constructs
+    a fresh dataset per video and must reuse the compiled graph)."""
+    parts = tuple((list(ids), folder) for ids, folder in parts_key)
+    return jax.jit(partial(
+        preprocess_clip_on_device,
+        interval=interval, parts=parts, flow_params=flow_params,
+        sampled_start=sampled_start,
+    ))
 
 
 class OnlineVideoDataset:
@@ -193,15 +235,22 @@ class OnlineVideoDataset:
         self._parts = tuple(parts)
         self._decode_cache: Dict[int, Tuple[np.ndarray, np.ndarray]] = {}
         self._seq_len_cache: Dict[int, int] = {}
-        self._preprocess = jax.jit(partial(
-            preprocess_clip_on_device,
-            interval=self.interval,
-            parts=self._parts,
-            flow_params=self.flow_params,
-            # The virtual window carries `interval` leading context frames so
-            # every sampled frame's flow companions are real frame pairs.
-            sampled_start=self.interval,
-        ))
+        # Per-(video, raw frame) detection results: stride-4 eval windows
+        # share 16/20 sampled frames and epochs revisit identical frames —
+        # without this the detector (the most expensive kernel in the chain)
+        # reruns ~5x per frame at eval. Keyed video -> {raw_idx: (box, valid,
+        # chart, uv) host arrays}; evicted per video, same bound as
+        # _decode_cache.
+        self._det_cache: Dict[int, Dict[int, Tuple]] = {}
+        self.detector_calls = 0  # frames actually sent to the detector (tests)
+        # Container frame-count metadata is spot-checked against one real
+        # decode before anything trusts it (see _seq_len_sampled).
+        self._metadata_ok: Optional[bool] = None
+        parts_key = tuple((tuple(ids), folder) for ids, folder in self._parts)
+        # The virtual window carries `interval` leading context frames so
+        # every sampled frame's flow companions are real frame pairs.
+        self._preprocess = _jitted_preprocess(
+            self.interval, parts_key, self.flow_params, self.interval)
 
     def __len__(self) -> int:
         return len(self.labels)
@@ -240,24 +289,44 @@ class OnlineVideoDataset:
         self._decode_cache[index] = (rgb, depth)
         return rgb, depth
 
+    def _metadata_frame_count(self, index: int) -> int:
+        import cv2
+
+        m_rel, _, _ = self.labels[index]
+        cap = cv2.VideoCapture(
+            str(Path(self.cfg.CHALEARN.ROOT, self.cfg.CHALEARN.SAMPLE, m_rel)))
+        n = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+        cap.release()
+        return n
+
     def _seq_len_sampled(self, index: int) -> int:
         # Cached, and counted from container metadata when possible: eval
         # batch-packing asks every video for its clip count up front
         # (data/dataset.eval_batches), which must not cost a full decode of
-        # the test set per epoch.
+        # the test set per epoch. CAP_PROP_FRAME_COUNT is container metadata
+        # and can lie (AVI with broken indices), so the FIRST metadata read
+        # per dataset is verified against a real decode; on mismatch the
+        # dataset distrusts metadata entirely and decodes (the check runs
+        # before any clip count is promised to eval batch-packing, so counts
+        # stay consistent within an epoch).
         if index in self._seq_len_cache:
             return self._seq_len_cache[index]
         if index in self._decode_cache:
             n = self._decode_cache[index][0].shape[0]
+        elif self._metadata_ok is False:
+            n = self._decode(index)[0].shape[0]
         else:
-            import cv2
-
-            m_rel, _, _ = self.labels[index]
-            cap = cv2.VideoCapture(
-                str(Path(self.cfg.CHALEARN.ROOT, self.cfg.CHALEARN.SAMPLE, m_rel)))
-            n = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
-            cap.release()
-            if n <= 0:  # unreadable metadata: fall back to a real decode
+            n = self._metadata_frame_count(index)
+            if self._metadata_ok is None and n > 0:
+                decoded = self._decode(index)[0].shape[0]
+                self._metadata_ok = (n == decoded)
+                if not self._metadata_ok:
+                    warnings.warn(
+                        f"container frame-count metadata ({n}) != decoded "
+                        f"frames ({decoded}) for {self.labels[index][0]}; "
+                        "falling back to decode-derived sequence lengths")
+                n = decoded
+            elif n <= 0:  # unreadable metadata: fall back to a real decode
                 n = self._decode(index)[0].shape[0]
         val = max(-(-n // self.interval), 1)
         self._seq_len_cache[index] = val
@@ -282,6 +351,41 @@ class OnlineVideoDataset:
             raw[j] = sampled_idx[k] * iv - delta
         return np.clip(raw, 0, t_video - 1)
 
+    def _detections_for(self, index: int, frames: np.ndarray,
+                        raw_sampled: np.ndarray) -> Detections:
+        """Per-sampled-frame detections, cached by raw frame index.
+
+        The reference computes detections once per frame and reuses them from
+        disk across epochs and eval windows (chalearn_padded_to_iuv.py:38-40
+        skip-if-exists); stride-4 eval windows share 16/20 sampled frames, so
+        re-detecting per clip window would cost ~5x the detector work. The
+        detector only sees frames absent from the cache; results are stored as
+        host arrays per (video, raw frame).
+        """
+        if index not in self._det_cache:
+            if len(self._det_cache) >= 8:
+                self._det_cache.pop(next(iter(self._det_cache)))
+            self._det_cache[index] = {}
+        cache = self._det_cache[index]
+        missing = sorted({int(r) for r in raw_sampled} - cache.keys())
+        if missing:
+            h, w = frames.shape[1:3]
+            padded = np.zeros((len(missing), 2 * h, 2 * w, 3), np.uint8)
+            padded[:, h // 2 : h // 2 + h, w // 2 : w // 2 + w] = frames[missing]
+            dets = self.detector(padded)
+            self.detector_calls += len(missing)
+            boxes, valid, charts, uv = jax.device_get(
+                (dets.boxes_xyxy, dets.valid, dets.charts, dets.uv))
+            for j, r in enumerate(missing):
+                cache[r] = (boxes[j], valid[j], charts[j], uv[j])
+        rows = [cache[int(r)] for r in raw_sampled]
+        return Detections(
+            boxes_xyxy=jnp.asarray(np.stack([r[0] for r in rows])),
+            valid=jnp.asarray(np.stack([r[1] for r in rows])),
+            charts=jnp.asarray(np.stack([r[2] for r in rows])),
+            uv=jnp.asarray(np.stack([r[3] for r in rows])),
+        )
+
     def _make_clip(self, index: int, sampled_idx: List[int]) -> np.ndarray:
         rgb, depth = self._decode(index)
         raw_idx = self._virtual_window(sampled_idx, rgb.shape[0])
@@ -290,10 +394,7 @@ class OnlineVideoDataset:
         s = len(sampled_idx)
         sampled_pos = np.arange(self.interval, frames.shape[0], self.interval)
         assert len(sampled_pos) == s
-        h, w = frames.shape[1:3]
-        padded = np.zeros((s, 2 * h, 2 * w, 3), np.uint8)
-        padded[:, h // 2 : h // 2 + h, w // 2 : w // 2 + w] = frames[sampled_pos]
-        dets = self.detector(padded)
+        dets = self._detections_for(index, rgb, raw_idx[sampled_pos])
         out = self._preprocess(jnp.asarray(frames), jnp.asarray(depth_w), dets)
         clip = np.asarray(jax.device_get(out[self.crop_folder]))
         assert clip.shape == (s, self.crop_size, self.crop_size,

@@ -19,11 +19,18 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def run_chunked(apply_batch: Callable, items: np.ndarray, batch_size: int):
+def run_chunked(apply_batch: Callable, items: np.ndarray, batch_size: int,
+                to_host: bool = False):
     """Map ``apply_batch`` (a jitted vmapped graph taking (batch_size, ...))
     over ``items`` in fixed-size chunks; returns the per-chunk output trees
-    concatenated along axis 0 (padded rows removed). Outputs stay on device —
-    callers ``jax.device_get`` if they need host arrays."""
+    concatenated along axis 0 (padded rows removed).
+
+    By default outputs stay on device — callers ``jax.device_get`` if they
+    need host arrays. ``to_host=True`` fetches each chunk's outputs as it
+    completes and concatenates on host: peak device memory is then one
+    chunk's outputs instead of the whole video's (long videos with large
+    per-frame outputs — charts/uv heatmaps — would otherwise scale peak HBM
+    with video length)."""
     n = items.shape[0]
     bs = max(1, int(batch_size))
     outs: List = []
@@ -35,7 +42,10 @@ def run_chunked(apply_batch: Callable, items: np.ndarray, batch_size: int):
         out = apply_batch(jnp.asarray(chunk))
         if pad:
             out = jax.tree.map(lambda a: a[:-pad], out)
+        if to_host:
+            out = jax.device_get(out)
         outs.append(out)
     if len(outs) == 1:
         return outs[0]
-    return jax.tree.map(lambda *xs: jnp.concatenate(xs), *outs)
+    cat = np.concatenate if to_host else jnp.concatenate
+    return jax.tree.map(lambda *xs: cat(xs), *outs)
