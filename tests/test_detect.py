@@ -261,12 +261,35 @@ def test_online_densepose_detector_batched(tmp_path):
     frames = rng.randint(0, 256, (3, 64, 64, 3), np.uint8)
     kw = dict(depth=50, pre_nms_topk=32, post_nms_topk=8, max_detections=2,
               chart_pooler_size=14)
-    det1 = DensePoseOnlineDetector(cfg, **kw, batch_size=1)
+    det1 = DensePoseOnlineDetector(cfg, **kw, batch_size=1, allow_random_init=True)
     out1 = det1(frames)
-    det2 = DensePoseOnlineDetector(cfg, **kw, batch_size=2)
+    det2 = DensePoseOnlineDetector(cfg, **kw, batch_size=2, allow_random_init=True)
     det2.variables = det1.variables
     out2 = det2(frames)
     np.testing.assert_allclose(np.asarray(out1.boxes_xyxy),
                                np.asarray(out2.boxes_xyxy), atol=1e-4)
     np.testing.assert_array_equal(np.asarray(out1.valid), np.asarray(out2.valid))
     np.testing.assert_allclose(np.asarray(out1.uv), np.asarray(out2.uv), atol=1e-4)
+
+
+@pytest.mark.slow
+def test_chart_topk_matches_full_prefix():
+    """chart_topk=K charts/u/v must equal rows [0:K) of the full run — the
+    budget only trims the per-ROI DeepLab head, never changes its math."""
+    full = DensePoseRCNN(depth=50, pre_nms_topk=64, post_nms_topk=8,
+                         max_detections=4, chart_pooler_size=14)
+    img = jnp.asarray(np.random.RandomState(3).randn(64, 64, 3).astype(np.float32))
+    variables = full.init(jax.random.PRNGKey(0), img, train=False)
+    out_full = jax.jit(lambda v, x: full.apply(v, x, train=False))(variables, img)
+    top1 = DensePoseRCNN(depth=50, pre_nms_topk=64, post_nms_topk=8,
+                         max_detections=4, chart_pooler_size=14, chart_topk=1)
+    out_1 = jax.jit(lambda v, x: top1.apply(v, x, train=False))(variables, img)
+    np.testing.assert_array_equal(np.asarray(out_1["boxes"]),
+                                  np.asarray(out_full["boxes"]))
+    assert out_1["charts"].shape == (1, 56, 56)
+    np.testing.assert_array_equal(np.asarray(out_1["charts"][0]),
+                                  np.asarray(out_full["charts"][0]))
+    np.testing.assert_allclose(np.asarray(out_1["u"][0]),
+                               np.asarray(out_full["u"][0]), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out_1["v"][0]),
+                               np.asarray(out_full["v"][0]), atol=1e-6)

@@ -349,6 +349,14 @@ class DensePoseRCNN(nn.Module):
     max_detections: int = 100
     chart_pooler_size: int = 28
     score_threshold: float = 0.05
+    # Run the DensePose chart branch for only the top-K detections (0 = all).
+    # NMS keep order is score-descending (detect/ops.nms: greedy argmax), so
+    # detections [0:K) ARE the K best — 'charts'/'u'/'v' then have leading
+    # dim K while boxes/scores keep max_detections. The chart head is the
+    # dominant per-ROI cost (ASPP + 8 512-wide convs, ~30 GFLOP per ROI);
+    # both shipped consumers (detect/provider, pipeline/online) use only the
+    # best detection's chart, so they set chart_topk=1.
+    chart_topk: int = 0
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
 
@@ -420,9 +428,13 @@ class DensePoseRCNN(nn.Module):
         final_scores = person_prob[det_idx]
         det_mask = det_mask & (final_scores > self.score_threshold)
 
-        # -- DensePose branch: decoder map (stride 4) -> chart head on the boxes.
+        # -- DensePose branch: decoder map (stride 4) -> chart head on the boxes
+        # (top chart_topk only when configured; keep order is score-sorted).
+        chart_boxes = final_boxes
+        if self.chart_topk and self.chart_topk < final_boxes.shape[0]:
+            chart_boxes = final_boxes[: self.chart_topk]
         decoded = self.decoder(feats[:4])
-        rois28 = roi_align(decoded[0], final_boxes, self.chart_pooler_size, 0.25)
+        rois28 = roi_align(decoded[0], chart_boxes, self.chart_pooler_size, 0.25)
         head_out = self.densepose_head(rois28)
         coarse, fine, u, v = self.chart_predictor(head_out)
         coarse = coarse.astype(jnp.float32)
@@ -444,8 +456,9 @@ class DensePoseRCNN(nn.Module):
             "boxes": final_boxes,                     # (D, 4) xyxy
             "scores": jnp.where(det_mask, final_scores, 0.0),  # (D,)
             "valid": det_mask,                        # (D,) bool
-            "charts": charts,                         # (D, hm, hm) 0..24
-            "u": jnp.clip(u_sel, 0.0, 1.0),           # (D, hm, hm)
+            # K = chart_topk if set else D; row i belongs to detection i.
+            "charts": charts,                         # (K, hm, hm) 0..24
+            "u": jnp.clip(u_sel, 0.0, 1.0),           # (K, hm, hm)
             "v": jnp.clip(v_sel, 0.0, 1.0),
         }
 

@@ -47,18 +47,24 @@ class DensePoseIUVProvider:
         weights_pkl: Optional[str] = None,
         compute_dtype: str = "auto",
         batch_size: int = 8,
+        chart_topk: int = 1,
     ):
         # 'auto': bfloat16 on TPU (MXU-native; ~15% faster inference, detection
         # quality unaffected at uint8-image precision), float32 elsewhere.
         if compute_dtype == "auto":
             compute_dtype = ("bfloat16" if jax.default_backend() == "tpu"
                              else "float32")
+        # chart_topk=1: this provider consumes only the best detection's chart
+        # (detect() below, mirroring the reference's argmax-score policy,
+        # chalearn_iuv_to_crop.py:212-213) — running the ~30 GFLOP/ROI DeepLab
+        # chart head for all `max_detections` boxes would be pure waste.
         self.model = DensePoseRCNN(
             depth=depth,
             pre_nms_topk=pre_nms_topk,
             post_nms_topk=post_nms_topk,
             max_detections=max_detections,
             chart_pooler_size=chart_pooler_size,
+            chart_topk=chart_topk,
             dtype=jnp.dtype(compute_dtype),
         )
         if weights_pkl is not None and variables is None:
@@ -116,10 +122,12 @@ class DensePoseIUVProvider:
         self._ensure_variables(prepped[0])
 
         # Batched inference in fixed-size chunks (utils/chunked: one transfer
-        # + one statically-shaped program per chunk instead of per frame).
-        results = jax.device_get(run_chunked(
+        # + one statically-shaped program per chunk instead of per frame);
+        # to_host bounds peak device memory at one chunk's outputs even for
+        # long videos.
+        results = run_chunked(
             lambda imgs: self._apply_batch(self.variables, imgs),
-            np.stack(prepped), self.batch_size))
+            np.stack(prepped), self.batch_size, to_host=True)
 
         out: List[IUVDetection] = []
         for i in range(n):
@@ -143,9 +151,14 @@ class DensePoseIUVProvider:
             best = int(np.argmax(scores))
             x1, y1, x2, y2 = boxes[best].astype(int)
             bw, bh = max(int(x2 - x1), 1), max(int(y2 - y1), 1)
-            charts = res["charts"][np.flatnonzero(valid)[best]].astype(np.uint8)
-            u = res["u"][np.flatnonzero(valid)[best]]
-            v = res["v"][np.flatnonzero(valid)[best]]
+            # NMS keep order is score-descending, so the best valid detection
+            # is row 0 — which chart_topk guarantees carries a chart; the min
+            # is a guard for chart_topk=0 (all rows present).
+            row = min(int(np.flatnonzero(valid)[best]),
+                      res["charts"].shape[0] - 1)
+            charts = res["charts"][row].astype(np.uint8)
+            u = res["u"][row]
+            v = res["v"][row]
             labels = cv2.resize(charts, (bw, bh), interpolation=cv2.INTER_NEAREST)
             u_full = cv2.resize(u, (bw, bh), interpolation=cv2.INTER_LINEAR)
             v_full = cv2.resize(v, (bw, bh), interpolation=cv2.INTER_LINEAR)
