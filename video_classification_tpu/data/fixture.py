@@ -32,10 +32,16 @@ def generate_raw_fixture(
     hw=(48, 64),
     sets: Sequence[str] = ("train",),
     seed: int = 0,
+    class_sep: int = 50,
 ) -> None:
     """Raw-stage fixture: 0_Iso/IsoGD_labels/<set>.txt + M_/K_ .avi pairs, the input
     of the full offline pipeline (chalearn_sample_data.py consumes this layout).
-    Videos contain a moving bright square on noise so optical flow is non-trivial."""
+    Videos contain a moving bright square on noise so optical flow is non-trivial.
+
+    ``class_sep`` adds a per-class brightness offset ((label-1)*class_sep) so
+    labels are separable from pixel content — the strongest accuracy-parity
+    proxy available with zero egress: a small model must overfit this to ~1.0
+    (mirroring the in-memory synthetic encoding, data/dataset.py:133-138)."""
     rng = np.random.RandomState(seed)
     root = Path(cfg.CHALEARN.ROOT)
     iso = root / cfg.CHALEARN.ISO
@@ -56,7 +62,9 @@ def generate_raw_fixture(
                     str(path), cv2.VideoWriter_fourcc(*"MJPG"), 10.0, (w, h)
                 )
                 for t in range(num_frames):
-                    frame = rng.randint(0, 60, (h, w, 3)).astype(np.uint8)
+                    offset = (label - 1) * class_sep
+                    frame = (rng.randint(0, 60, (h, w, 3)) + offset).clip(
+                        0, 255).astype(np.uint8)
                     # moving square (motion for the flow stage)
                     x0 = 4 + 2 * t
                     y0 = 4 + t
