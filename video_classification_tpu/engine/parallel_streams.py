@@ -76,7 +76,18 @@ def train_streams_parallel(
         t.start()
     for t in threads:
         t.join()
+    # Per-stream completion report: an overnight 6-stream run must say which
+    # streams finished and which died, not just the first failure.
+    for name in model_names:
+        if name in results:
+            print(f"stream {name}: done, best acc {results[name]:.4f}")
+        elif name in errors:
+            print(f"stream {name}: FAILED: {errors[name]!r}")
     if errors:
-        name, err = next(iter(errors.items()))
-        raise RuntimeError(f"stream {name} failed: {err!r}") from err
+        detail = "; ".join(f"{n}: {e!r}" for n, e in errors.items())
+        err = RuntimeError(
+            f"{len(errors)}/{len(model_names)} streams failed ({detail}); "
+            f"completed: {sorted(results)}")
+        # Chain the first failure for its traceback; the message carries all.
+        raise err from next(iter(errors.values()))
     return results

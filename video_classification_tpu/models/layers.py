@@ -75,9 +75,24 @@ class SpaceToDepthConv(nn.Module):
     param_dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, prepacked: Optional[bool] = None):
+        """``prepacked`` makes the packed-input interpretation explicit; the
+        default (None) infers it from the channel count, but only after
+        checking the count is one of the two legal layouts — a 4x-channel
+        input that was NOT s2d-packed must error, not silently produce a
+        quarter-resolution output."""
         b, t, h, w, cx = x.shape
-        prepacked = self.in_channels is not None and cx == 4 * self.in_channels
+        if self.in_channels is not None and cx not in (
+                self.in_channels, 4 * self.in_channels):
+            raise ValueError(
+                f"SpaceToDepthConv(in_channels={self.in_channels}) got "
+                f"{cx} input channels; expected {self.in_channels} (unpacked) "
+                f"or {4 * self.in_channels} (2x2 s2d-prepacked)")
+        if prepacked is None:
+            prepacked = self.in_channels is not None and cx == 4 * self.in_channels
+        elif prepacked and cx != 4 * (self.in_channels or cx // 4):
+            raise ValueError(f"prepacked=True but {cx} channels is not 4x "
+                             f"in_channels={self.in_channels}")
         cin = self.in_channels if prepacked else cx
         k = self.param(
             "kernel", nn.initializers.lecun_normal(),
