@@ -97,6 +97,14 @@ def _warp_bilinear(im: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarr
     instead of four arbitrary-index gathers — XLA lowers per-pixel fancy
     indexing to a slow generic gather, which profiling showed dominated the
     whole solver (11.7 ms -> 3.3 ms per (4,240,320,3) warp on v5e).
+
+    This is the measured hardware floor (round 3, benchmarks/bench_warp.py):
+    v5e gathers ~150M rows/s regardless of slice width (<=16 f32), dtype, or
+    index order, and an exact warp needs one gathered row per output pixel.
+    Refuted alternatives: two axis-aligned gathers / one-hot row matmuls are
+    NOT equivalent (the composition evaluates y0 at the gathered column:
+    y0[y, x0] != y0[y, x]), and (2R+2)^2 select-shift masked accumulation is
+    slower than the gather already at R=7 (5.0 vs 3.5 ms/warp).
     """
     b, h, w, c = im.shape
     ys = jnp.arange(h, dtype=jnp.float32)[None, :, None] + v

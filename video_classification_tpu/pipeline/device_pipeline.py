@@ -38,7 +38,7 @@ import jax.numpy as jnp
 from ..config.crop_cfg import crop_part_args, crop_resize_dict
 from ..ops.components import MIN_PART_SIZE, largest_component_bbox
 from ..ops.flow import DEFAULT_PARAMS, FlowParams, video_flow_uint8
-from ..ops.image import pad_to_square_resize
+from ..ops.image import pad_to_square_resize, shift2d
 from ..data.dataset import MISSING_FILL
 
 
@@ -60,50 +60,61 @@ def _pad2x_batch(x: jnp.ndarray) -> jnp.ndarray:
 def _dynamic_crop_to_canvas(img: jnp.ndarray, y: jnp.ndarray, x: jnp.ndarray,
                             canvas_hw: Tuple[int, int]) -> jnp.ndarray:
     """Slice a (canvas_h, canvas_w) window starting at traced (y, x); content
-    beyond the image is zero."""
-    ch, cw = canvas_hw
-    pad = jnp.pad(img, ((0, ch), (0, cw), (0, 0)))
-    return jax.lax.dynamic_slice(
-        pad, (y.astype(jnp.int32), x.astype(jnp.int32), 0), (ch, cw, img.shape[-1])
-    )
+    beyond the image is zero.
+
+    One-hot matmul shift (ops/image.shift2d): under the per-frame vmap a
+    dynamic_slice lowers to a ~2 GB/s generic gather — 13 of these per frame
+    (body rgb/depth/5 flows + 6 part crops) were ~40% of the whole measured
+    e2e preprocessing cost; the matmul form rides the MXU."""
+    return shift2d(img, y, x, canvas_hw)
 
 
 def _resize_chart_to_canvas(chart: jnp.ndarray, uv: jnp.ndarray,
                             bh: jnp.ndarray, bw: jnp.ndarray,
                             canvas_hw: Tuple[int, int]):
     """Upsample the (hm, hm) chart (nearest) and uv (bilinear) to the true box
-    size (traced), placed at the canvas origin; outside the box -> 0."""
+    size (traced), placed at the canvas origin; outside the box -> 0.
+
+    The sample coordinate of row y depends only on y and of column x only on
+    x, so both resamplings are separable: nearest is a pair of one-hot
+    selection matmuls and bilinear a pair of two-tap weight matmuls
+    (out = W_y @ m @ W_x^T) — the per-pixel 2-D gathers they replace ran at
+    ~2 GB/s over the (2H, 2W) canvas on v5e. One-hot rows make the nearest
+    path exact; the bilinear path is the same weighted sum in a different
+    summation order."""
     hm = chart.shape[0]
     ch, cw = canvas_hw
-    rows = jax.lax.broadcasted_iota(jnp.int32, (ch, cw), 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (ch, cw), 1)
-    inside = (rows < bh) & (cols < bw)
-    fy = (rows.astype(jnp.float32) + 0.5) * hm / jnp.maximum(bh, 1).astype(jnp.float32)
-    fx = (cols.astype(jnp.float32) + 0.5) * hm / jnp.maximum(bw, 1).astype(jnp.float32)
+    rows = jnp.arange(ch, dtype=jnp.float32)
+    cols = jnp.arange(cw, dtype=jnp.float32)
+    inside = (rows[:, None] < bh) & (cols[None, :] < bw)
+    fy = (rows + 0.5) * hm / jnp.maximum(bh, 1).astype(jnp.float32)  # (ch,)
+    fx = (cols + 0.5) * hm / jnp.maximum(bw, 1).astype(jnp.float32)  # (cw,)
+    src = jnp.arange(hm, dtype=jnp.int32)
+
+    def one_hot(idx):
+        return (src[None, :] == idx[:, None]).astype(jnp.float32)
+
     iy = jnp.clip(fy.astype(jnp.int32), 0, hm - 1)
     ix = jnp.clip(fx.astype(jnp.int32), 0, hm - 1)
-    chart_full = jnp.where(inside, chart[iy, ix], 0)
+    py, px = one_hot(iy), one_hot(ix)               # (ch, hm), (cw, hm)
+    chart_full = py @ chart.astype(jnp.float32) @ px.T
+    chart_full = jnp.where(inside, chart_full.astype(chart.dtype), 0)
 
-    # Bilinear for UV.
+    # Bilinear for UV: two taps per row/column accumulated into the weight
+    # matrices (y1 may clamp onto y0; adding the one-hots then sums the two
+    # weights to 1.0 on that row — identical to the clamped-gather formula).
     gy = jnp.clip(fy - 0.5, 0.0, hm - 1.0)
     gx = jnp.clip(fx - 0.5, 0.0, hm - 1.0)
     y0 = jnp.floor(gy).astype(jnp.int32)
     x0 = jnp.floor(gx).astype(jnp.int32)
     y1 = jnp.minimum(y0 + 1, hm - 1)
     x1 = jnp.minimum(x0 + 1, hm - 1)
-    wy = gy - y0
-    wx = gx - x0
-
-    def bil(m):
-        return (
-            m[y0, x0] * (1 - wy) * (1 - wx)
-            + m[y0, x1] * (1 - wy) * wx
-            + m[y1, x0] * wy * (1 - wx)
-            + m[y1, x1] * wy * wx
-        )
-
-    u_full = jnp.where(inside, bil(uv[0]), 0.0)
-    v_full = jnp.where(inside, bil(uv[1]), 0.0)
+    wy = (gy - y0)[:, None]
+    wx = (gx - x0)[:, None]
+    wy_mat = (1.0 - wy) * one_hot(y0) + wy * one_hot(y1)  # (ch, hm)
+    wx_mat = (1.0 - wx) * one_hot(x0) + wx * one_hot(x1)  # (cw, hm)
+    u_full = jnp.where(inside, wy_mat @ uv[0] @ wx_mat.T, 0.0)
+    v_full = jnp.where(inside, wy_mat @ uv[1] @ wx_mat.T, 0.0)
     return chart_full, u_full, v_full
 
 
