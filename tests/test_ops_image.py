@@ -173,3 +173,54 @@ def test_random_crop_mxu_space_to_depth_layout():
     want = plain.reshape(n, t, s // 2, 2, s // 2, 2, c).transpose(
         0, 1, 2, 4, 3, 5, 6).reshape(n, t, s // 2, s // 2, 4 * c)
     np.testing.assert_array_equal(packed, want)
+
+
+@pytest.mark.parametrize("dy,dx", [(0, 0), (5, 3), (-4, -7), (20, -2), (60, 60)])
+def test_shift2d_matches_numpy_window(dy, dx):
+    """shift2d == a zero-filled numpy window copy for positive, negative, and
+    fully out-of-range offsets (out[y, x] = img[y+dy, x+dx])."""
+    from video_classification_tpu.ops.image import shift2d
+
+    rng = np.random.RandomState(8)
+    img = rng.rand(30, 40, 3).astype(np.float32)
+    oh, ow = 24, 28
+    want = np.zeros((oh, ow, 3), np.float32)
+    for y in range(oh):
+        for x in range(ow):
+            sy, sx = y + dy, x + dx
+            if 0 <= sy < 30 and 0 <= sx < 40:
+                want[y, x] = img[sy, sx]
+    got = np.asarray(shift2d(jnp.asarray(img), dy, dx, (oh, ow)))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_shift2d_uint8_exact():
+    """uint8 goes through bf16 operands; integers 0..255 are exact in bf16 so
+    the one-hot matmul must reproduce the bytes bit-for-bit."""
+    from video_classification_tpu.ops.image import shift2d
+
+    rng = np.random.RandomState(9)
+    img = rng.randint(0, 256, (33, 47, 21), dtype=np.uint8)
+    got = np.asarray(shift2d(jnp.asarray(img), 6, -3, (16, 50)))
+    want = np.zeros((16, 50, 21), np.uint8)
+    for y in range(16):
+        for x in range(50):
+            sy, sx = y + 6, x - 3
+            if 0 <= sy < 33 and 0 <= sx < 47:
+                want[y, x] = img[sy, sx]
+    np.testing.assert_array_equal(got, want)
+
+
+def test_shift2d_traced_offsets_under_jit():
+    from video_classification_tpu.ops.image import shift2d
+
+    rng = np.random.RandomState(10)
+    img = jnp.asarray(rng.rand(20, 20, 2).astype(np.float32))
+
+    @jax.jit
+    def run(im, dy, dx):
+        return shift2d(im, dy, dx, (12, 12))
+
+    got = np.asarray(run(img, jnp.int32(4), jnp.int32(-2)))
+    want = np.asarray(shift2d(img, 4, -2, (12, 12)))
+    np.testing.assert_array_equal(got, want)
