@@ -90,3 +90,45 @@ def test_device_pipeline_jits():
     )
     out = fn(frames, depth, dets)
     assert out["CropTorso"].dtype == jnp.uint8
+
+
+def test_resize_chart_to_canvas_matches_gather_formula():
+    """The separable weight-matmul upsampling == the per-pixel gather formula
+    it replaced (nearest for charts exactly; bilinear for UV to float tol)."""
+    from video_classification_tpu.pipeline.device_pipeline import (
+        _resize_chart_to_canvas,
+    )
+
+    hm, ch, cw = 14, 40, 52
+    rng = np.random.RandomState(3)
+    chart = rng.randint(0, 25, (hm, hm)).astype(np.int32)
+    uv = rng.rand(2, hm, hm).astype(np.float32)
+    for bh, bw in [(33, 47), (40, 52), (7, 12), (1, 1)]:
+        got_c, got_u, got_v = jax.jit(
+            lambda c, u, bh=bh, bw=bw: _resize_chart_to_canvas(
+                c, u, jnp.int32(bh), jnp.int32(bw), (ch, cw)))(
+                    jnp.asarray(chart), jnp.asarray(uv))
+        rows = np.arange(ch)[:, None]
+        cols = np.arange(cw)[None, :]
+        inside = (rows < bh) & (cols < bw)
+        fy = (np.arange(ch) + 0.5) * hm / max(bh, 1)
+        fx = (np.arange(cw) + 0.5) * hm / max(bw, 1)
+        iy = np.clip(fy.astype(np.int32), 0, hm - 1)
+        ix = np.clip(fx.astype(np.int32), 0, hm - 1)
+        want_c = np.where(inside, chart[iy[:, None], ix[None, :]], 0)
+        np.testing.assert_array_equal(np.asarray(got_c), want_c)
+        gy = np.clip(fy - 0.5, 0.0, hm - 1.0)
+        gx = np.clip(fx - 0.5, 0.0, hm - 1.0)
+        y0 = np.floor(gy).astype(np.int32)
+        x0 = np.floor(gx).astype(np.int32)
+        y1 = np.minimum(y0 + 1, hm - 1)
+        x1 = np.minimum(x0 + 1, hm - 1)
+        wy = (gy - y0)[:, None]
+        wx = (gx - x0)[None, :]
+        for m, got in ((uv[0], got_u), (uv[1], got_v)):
+            want = (m[y0][:, x0] * (1 - wy) * (1 - wx)
+                    + m[y0][:, x1] * (1 - wy) * wx
+                    + m[y1][:, x0] * wy * (1 - wx)
+                    + m[y1][:, x1] * wy * wx)
+            np.testing.assert_allclose(np.asarray(got), np.where(inside, want, 0),
+                                       atol=1e-5)
