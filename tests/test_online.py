@@ -122,7 +122,7 @@ def test_online_densepose_detector_leg(tmp_path):
     cfg = _online_cfg(tmp_path, num_frames=10)
     det = DensePoseOnlineDetector(cfg, depth=50, pre_nms_topk=32,
                                   post_nms_topk=8, max_detections=2,
-                                  chart_pooler_size=14,
+                                  chart_pooler_size=14, batch_size=2,
                                   allow_random_init=True)
     ds = OnlineVideoDataset(cfg, "train", detector=det)
     item = ds.get_train_clip(0, random.Random(0))

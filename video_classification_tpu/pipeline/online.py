@@ -115,7 +115,7 @@ class DensePoseOnlineDetector:
     def __init__(self, cfg, variables=None, depth: int = 101,
                  pre_nms_topk: int = 256, post_nms_topk: int = 64,
                  max_detections: int = 8, chart_pooler_size: int = 28,
-                 batch_size: int = 8, allow_random_init: bool = False,
+                 batch_size: int = 20, allow_random_init: bool = False,
                  compute_dtype: str = "auto"):
         from ..detect.densepose import DensePoseRCNN
 
@@ -161,7 +161,10 @@ class DensePoseOnlineDetector:
         # Fixed-size frame batches: vmap over the static-shape single-frame
         # graph — batched convs on the MXU, one transfer per chunk instead of
         # one jit round-trip per frame; utils/chunked pads the remainder so
-        # one program serves every call.
+        # one program serves every call. Default 20 = one chunk per clip's
+        # sampled frames with zero padding — the measured per-clip optimum at
+        # 480x640 (r3 sweep, ms/frame: 4->6.7, 8->5.6, 16->5.2, 20->5.7; 16
+        # loses per clip to 12 padded frames: 20x5.66=113 ms vs 32x5.23=167).
         self.batch_size = max(1, int(batch_size))
         self._batch = jax.jit(
             lambda variables, frames: jax.vmap(partial(one, variables))(frames)
@@ -186,7 +189,10 @@ def make_online_detector(cfg):
     if kind == "densepose":
         # Raises unless DATA.DENSEPOSE_PKL is set: silently training on a
         # random-init detector must never happen through the config path.
-        return DensePoseOnlineDetector(cfg)
+        # One detector chunk per clip's CLIP_LEN sampled frames: zero padding
+        # waste for any config (the r3 batch sweep's per-clip optimum).
+        return DensePoseOnlineDetector(
+            cfg, batch_size=max(1, int(cfg.CHALEARN.CLIP_LEN)))
     raise ValueError(f"unknown DATA.ONLINE_DETECTOR: {kind}")
 
 
