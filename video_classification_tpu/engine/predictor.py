@@ -81,18 +81,27 @@ class Predictor:
                                   flow_params=fp, labels=labels)
 
     def clip_scores(self, m_path, k_path=None) -> np.ndarray:
-        """(n_clips, num_class) softmax scores for every uniform clip window."""
+        """(n_clips, num_class) softmax scores for every uniform clip window.
+
+        Device-resident end to end: the fused preprocessing graph's clips stay
+        on device (``get_eval_clips(device=True)``) and batch padding happens
+        device-side, so the only host↔device traffic is the raw frames in and
+        the (n, C) scores out. The previous fetch-pad-reupload flow moved a
+        padded BATCH_SIZE uint8 clip tensor (~0.5 GB at batch 32) through the
+        ~20 MB/s TPU tunnel per eval call: 39 s/video; device-resident it is
+        ~2.5 s (benchmarks/bench_infer.py)."""
         ds = self._dataset(m_path, k_path)
-        item = ds.get_eval_clips(0, pyrandom.Random(0))
-        clips = np.stack(item["clips"])  # (n, T, size, size, 21) uint8
+        item = ds.get_eval_clips(0, pyrandom.Random(0), device=True)
+        clips = jnp.stack(item["clips"])  # (n, T, size, size, 21) uint8
         bs = max(1, int(self.cfg.CHALEARN.BATCH_SIZE))
         outs = []
         for start in range(0, clips.shape[0], bs):
             chunk = clips[start:start + bs]
             n = chunk.shape[0]
             if n < bs:  # pad to the compiled batch shape, mask after
-                chunk = np.concatenate([chunk, np.repeat(chunk[:1], bs - n, 0)])
-            scores = np.asarray(self._eval(self.variables, jnp.asarray(chunk)))
+                chunk = jnp.concatenate(
+                    [chunk, jnp.repeat(chunk[:1], bs - n, axis=0)])
+            scores = np.asarray(self._eval(self.variables, chunk))
             outs.append(scores[:n])
         return np.concatenate(outs, axis=0)
 

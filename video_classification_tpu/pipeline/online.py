@@ -392,7 +392,13 @@ class OnlineVideoDataset:
             uv=jnp.asarray(np.stack([r[3] for r in rows])),
         )
 
-    def _make_clip(self, index: int, sampled_idx: List[int]) -> np.ndarray:
+    def _make_clip(self, index: int, sampled_idx: List[int],
+                   device: bool = False) -> np.ndarray:
+        """``device=True`` returns the clip as a device array (no device_get):
+        the serving path chains it straight into the jitted eval step — a
+        fetched-then-reuploaded uint8 clip costs two ~15 MB transfers per clip
+        through the TPU tunnel (the measured predictor latency was transfer-
+        dominated before this)."""
         rgb, depth = self._decode(index)
         raw_idx = self._virtual_window(sampled_idx, rgb.shape[0])
         frames = rgb[raw_idx]
@@ -402,10 +408,12 @@ class OnlineVideoDataset:
         assert len(sampled_pos) == s
         dets = self._detections_for(index, rgb, raw_idx[sampled_pos])
         out = self._preprocess(jnp.asarray(frames), jnp.asarray(depth_w), dets)
-        clip = np.asarray(jax.device_get(out[self.crop_folder]))
+        clip = out[self.crop_folder]
         assert clip.shape == (s, self.crop_size, self.crop_size,
                               NUM_MODALITY_CHANNELS)
-        return clip
+        if device:
+            return clip
+        return np.asarray(jax.device_get(clip))
 
     # -- public API (ChalearnVideoDataset contract) --------------------------------
 
@@ -415,10 +423,11 @@ class OnlineVideoDataset:
         return {"x": self._make_clip(index, idx),
                 "label": self.labels[index][2] - 1}
 
-    def get_eval_clips(self, index: int, rng: pyrandom.Random) -> Dict:
+    def get_eval_clips(self, index: int, rng: pyrandom.Random,
+                       device: bool = False) -> Dict:
         seq = self._seq_len_sampled(index)
         clips = uniform_clip_indices(seq, self.clip_len, rng)
-        xs = [self._make_clip(index, ci) for ci in clips]
+        xs = [self._make_clip(index, ci, device=device) for ci in clips]
         return {"clips": xs, "label": self.labels[index][2] - 1}
 
     def num_eval_clips(self, index: int) -> int:
