@@ -15,14 +15,65 @@ import jax
 import jax.numpy as jnp
 
 
+def _corner_blend(flat: jnp.ndarray, idx: jnp.ndarray, row_stride,
+                  wy: jnp.ndarray, wx: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear blend of the 2x2 corners at flat row index ``idx``.
+
+    flat: (R, C) row-major feature rows; idx: (...,) int32 index of the
+    top-left corner; row_stride: scalar or (...,)-shaped row pitch (W for a
+    single map, the level width for a flattened pyramid); wy/wx: (...,)
+    fractional weights. Four direct row gathers instead of building a
+    corner-packed 4C copy of the map: the pack materializes 4x the *entire*
+    map per call to serve N*s*s sampled rows — for ROI pooling N*s*s is far
+    below H*W (64 boxes x 14x14 = 12.5K rows vs 25.5K pyramid pixels), so the
+    packed build dominated detector traffic (profiled: 0.27 ms/frame concat +
+    0.24 ms dtype converts at 480x640). In-bounds by construction: idx's
+    y0/x0 are clamped to h-2/w-2 by the callers, so +1/+stride never leaves
+    the map (the convention _warp_bilinear documents). The blend runs in the
+    feature dtype (bf16 on TPU) — upcasting to f32 doubled the gather fusion's
+    bytes.
+    """
+    shape = idx.shape
+    fi = idx.reshape(-1)
+    st = (row_stride if isinstance(row_stride, int)
+          else jnp.broadcast_to(row_stride, shape).reshape(-1))
+
+    def take2(start):
+        # Rows start and start+1 are the (y, x0) and (y, x0+1) corners —
+        # adjacent in row-major order (x0 <= w-2 guarantees no row wrap) —
+        # so one slice_sizes=(2, C) gather fetches the pair: half the
+        # gathered rows of four single-row takes at the same byte count.
+        g = jax.lax.gather(
+            flat, start[:, None],
+            jax.lax.GatherDimensionNumbers(
+                offset_dims=(1, 2), collapsed_slice_dims=(),
+                start_index_map=(0,)),
+            slice_sizes=(2, flat.shape[-1]),
+            mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
+        )
+        return g[:, 0], g[:, 1]
+
+    v00, v01 = take2(fi)
+    v10, v11 = take2(fi + st)
+    wy = wy.reshape(-1, 1).astype(flat.dtype)
+    wx = wx.reshape(-1, 1).astype(flat.dtype)
+    out = (
+        v00 * (1 - wy) * (1 - wx)
+        + v01 * (1 - wy) * wx
+        + v10 * wy * (1 - wx)
+        + v11 * wy * wx
+    )
+    return out.reshape(shape + (flat.shape[-1],))
+
+
 def _bilinear_sample(feat: jnp.ndarray, ys: jnp.ndarray, xs: jnp.ndarray) -> jnp.ndarray:
     """Sample feat (H, W, C) at float coords (ys, xs) of any shape -> (..., C).
 
     Out-of-range coordinates clamp to the border (ROIAlign convention for
-    sampling points outside the feature map). TPU formulation: the 2x2 corner
-    patch is packed into the channel dim and fetched with ONE contiguous
-    row gather — XLA lowers per-point fancy indexing to a slow generic gather
-    (same fix as ops/flow._warp_bilinear; ~4x on v5e).
+    sampling points outside the feature map). TPU formulation: four direct
+    contiguous row gathers + blend (_corner_blend) — XLA lowers per-point
+    fancy indexing to a slow generic gather (same fix as
+    ops/flow._warp_bilinear; ~4x on v5e).
     """
     h, w, c = feat.shape
     ys = jnp.clip(ys, 0.0, h - 1.0)
@@ -31,24 +82,13 @@ def _bilinear_sample(feat: jnp.ndarray, ys: jnp.ndarray, xs: jnp.ndarray) -> jnp
     # and selects the last row/col — identical to min(y0+1, h-1).
     y0 = jnp.minimum(jnp.floor(ys).astype(jnp.int32), max(h - 2, 0))
     x0 = jnp.minimum(jnp.floor(xs).astype(jnp.int32), max(w - 2, 0))
-    wy = (ys - y0)[..., None]
-    wx = (xs - x0)[..., None]
-    right = jnp.concatenate([feat[:, 1:], feat[:, -1:]], axis=1)
-    down = jnp.concatenate([feat[1:], feat[-1:]], axis=0)
-    down_right = jnp.concatenate([right[1:], right[-1:]], axis=0)
-    packed = jnp.concatenate([feat, right, down, down_right], axis=-1)
+    wy = ys - y0
+    wx = xs - x0
     shape = jnp.broadcast_shapes(y0.shape, x0.shape)
-    flat = (y0 * w + x0).reshape(-1) if y0.shape == x0.shape else (
-        jnp.broadcast_to(y0 * w + x0, shape).reshape(-1))
-    g = jnp.take(packed.reshape(h * w, 4 * c), flat, axis=0)
-    g = g.reshape(shape + (4, c))
-    v00, v01, v10, v11 = g[..., 0, :], g[..., 1, :], g[..., 2, :], g[..., 3, :]
-    return (
-        v00 * (1 - wy) * (1 - wx)
-        + v01 * (1 - wy) * wx
-        + v10 * wy * (1 - wx)
-        + v11 * wy * wx
-    )
+    idx = jnp.broadcast_to(y0 * w + x0, shape)
+    wy = jnp.broadcast_to(wy, shape)
+    wx = jnp.broadcast_to(wx, shape)
+    return _corner_blend(feat.reshape(h * w, c), idx, w, wy, wx)
 
 
 @functools.partial(jax.jit, static_argnums=(2, 3, 4))
@@ -103,8 +143,9 @@ def multilevel_roi_align(
     assigned level (Lin et al.: k = k0 + log2(sqrt(wh)/224)); the naive
     alternative — pooling every level then selecting — gathers 4x the bytes,
     which profiling showed dominated detector latency. Levels are flattened
-    into one (sum H*W, 4C) corner-packed buffer so the per-box level becomes
-    pure index arithmetic feeding a single contiguous gather.
+    into one (sum H*W, C) buffer so the per-box level becomes pure index
+    arithmetic feeding four contiguous corner gathers (_corner_blend — no
+    corner-packed 4C copy of the pyramid is materialized).
 
     Bit-identical to roi_align(level) + take_along_axis selection (tested).
     """
@@ -112,15 +153,7 @@ def multilevel_roi_align(
 
     c = feats[0].shape[-1]
     n_levels = len(feats)
-    packed_levels = []
-    for f in feats:
-        x = f[0]
-        right = jnp.concatenate([x[:, 1:], x[:, -1:]], axis=1)
-        down = jnp.concatenate([x[1:], x[-1:]], axis=0)
-        down_right = jnp.concatenate([right[1:], right[-1:]], axis=0)
-        packed_levels.append(
-            jnp.concatenate([x, right, down, down_right], axis=-1).reshape(-1, 4 * c))
-    flat = jnp.concatenate(packed_levels, axis=0)
+    flat = jnp.concatenate([f[0].reshape(-1, c) for f in feats], axis=0)
     hs_np = [f.shape[1] for f in feats]
     ws_np = [f.shape[2] for f in feats]
     offs_np = np.cumsum([0] + [h * w for h, w in zip(hs_np, ws_np)])[:-1]
@@ -167,15 +200,11 @@ def multilevel_roi_align(
 
     idx = (loff[:, None, None] + y0[:, :, None] * lw[:, None, None]
            + x0[:, None, :])                          # (N, s, s)
-    g = jnp.take(flat, idx.reshape(-1), axis=0).reshape(nboxes, s, s, 4, c)
-    wy_ = wy[:, :, None, None]
-    wx_ = wx[:, None, :, None]
-    samples = (
-        g[..., 0, :] * (1 - wy_) * (1 - wx_)
-        + g[..., 1, :] * (1 - wy_) * wx_
-        + g[..., 2, :] * wy_ * (1 - wx_)
-        + g[..., 3, :] * wy_ * wx_
-    )
+    samples = _corner_blend(
+        flat, idx, lw[:, None, None],
+        jnp.broadcast_to(wy[:, :, None], idx.shape),
+        jnp.broadcast_to(wx[:, None, :], idx.shape),
+    )                                                 # (N, s, s, C)
     samples = samples.reshape(nboxes, output_size, sampling_ratio,
                               output_size, sampling_ratio, c)
     return samples.mean(axis=(2, 4))
