@@ -43,3 +43,67 @@ def test_spiral_component():
     got = np.asarray(label_components_pallas(jnp.asarray(m[None]), None, True))[0]
     want = np.asarray(label_components(jnp.asarray(m)))
     np.testing.assert_array_equal(got, want)
+
+
+def _cv2_largest_bbox(mask):
+    """Reference rule: largest boundingRect area over 8-connected components."""
+    n, _, stats, _ = cv2.connectedComponentsWithStats(
+        mask.astype(np.uint8), connectivity=8)
+    best, area = None, 0
+    for lbl in range(1, n):
+        x, y, w, h = stats[lbl, :4]
+        if w * h > area:
+            best, area = (x, y, w, h), w * h
+    return best
+
+
+def test_extents_bbox_matches_cv2():
+    """largest_component_bbox (extent propagation, both backends) == cv2."""
+    from video_classification_tpu.ops.components import largest_component_bbox
+
+    rng = np.random.RandomState(1)
+    for i in range(6):
+        noise = rng.rand(32, 40).astype(np.float32)
+        blurred = cv2.GaussianBlur(noise, (0, 0), 2.0)
+        mask = blurred > np.percentile(blurred, 70)
+        want = _cv2_largest_bbox(mask)
+        for backend in ("xla", "pallas_interpret"):
+            bbox, valid = largest_component_bbox(
+                jnp.asarray(mask), min_size=0, backend=backend)
+            got = tuple(int(v) for v in np.asarray(bbox))
+            assert bool(valid) == (want is not None), (i, backend)
+            if want is not None:
+                assert got == want, (i, backend, got, want)
+
+
+def test_extents_spiral_and_empty():
+    from video_classification_tpu.ops.components import largest_component_bbox
+
+    m = np.zeros((16, 16), bool)
+    m[0, :] = True
+    m[:, -1] = True
+    m[-1, :] = True
+    m[2:-1, 2] = True
+    m[2, :3] = False
+    for backend in ("xla", "pallas_interpret"):
+        bbox, valid = largest_component_bbox(jnp.asarray(m), min_size=0,
+                                             backend=backend)
+        assert bool(valid)
+        assert tuple(int(v) for v in np.asarray(bbox)) == _cv2_largest_bbox(m)
+    # All-background mask: invalid, zero bbox.
+    z = np.zeros((8, 8), bool)
+    bbox, valid = largest_component_bbox(jnp.asarray(z), min_size=0,
+                                         backend="xla")
+    assert not bool(valid) and np.asarray(bbox).tolist() == [0, 0, 0, 0]
+
+
+def test_extents_min_size_rule():
+    from video_classification_tpu.ops.components import largest_component_bbox
+
+    m = np.zeros((40, 40), bool)
+    m[5:15, 5:12] = True  # 7x10 bbox: below the 15 px rule
+    bbox, valid = largest_component_bbox(jnp.asarray(m), backend="xla")
+    assert not bool(valid)
+    m[20:36, 20:36] = True  # 16x16: passes
+    bbox, valid = largest_component_bbox(jnp.asarray(m), backend="xla")
+    assert bool(valid) and np.asarray(bbox).tolist() == [20, 20, 16, 16]

@@ -24,6 +24,7 @@ contours dominate any inner one in bbox area, so "largest contour bbox" ==
 
 from __future__ import annotations
 
+import functools
 from typing import Tuple
 
 import jax
@@ -98,8 +99,72 @@ def label_components(mask: jnp.ndarray, max_iters: int | None = None,
     return labels
 
 
+def _component_extents_xla(mask: jnp.ndarray, max_iters: int | None = None):
+    """Per-pixel component bbox extents by masked min/max propagation.
+
+    Every foreground neighbor is by definition in the same 8-connected
+    component, so min/max-pooling each pixel's (row, col) over the masked
+    neighborhood converges every pixel to its component's extents within the
+    geodesic diameter — the same fixpoint argument as label propagation, but
+    it removes the per-component segment reduction entirely (XLA lowers a TPU
+    scatter-min/max to a sequential per-update while loop: ~0.39 ms per
+    (frame, part) mask, ~47 ms of a 0.94 s e2e preprocessing clip)."""
+    h, w = mask.shape
+    inf = jnp.iinfo(jnp.int32).max
+    rows = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    state0 = (
+        jnp.where(mask, rows, inf), jnp.where(mask, rows, -1),
+        jnp.where(mask, cols, inf), jnp.where(mask, cols, -1),
+    )
+    if max_iters is None:
+        max_iters = h + w
+
+    def pool(x, op, fill):
+        p = jnp.pad(x, ((1, 1), (1, 1)), constant_values=fill)
+        n = op(op(op(op(x, p[:-2, 1:-1]), p[2:, 1:-1]), p[1:-1, :-2]),
+               p[1:-1, 2:])
+        n = op(op(op(op(n, p[:-2, :-2]), p[:-2, 2:]), p[2:, :-2]), p[2:, 2:])
+        return n
+
+    def step(state):
+        mnr, mxr, mnc, mxc = state
+        return (
+            jnp.where(mask, pool(mnr, jnp.minimum, inf), inf),
+            jnp.where(mask, pool(mxr, jnp.maximum, -1), -1),
+            jnp.where(mask, pool(mnc, jnp.minimum, inf), inf),
+            jnp.where(mask, pool(mxc, jnp.maximum, -1), -1),
+        )
+
+    def cond(carry):
+        state, changed, it = carry
+        return jnp.logical_and(changed, it < max_iters)
+
+    def body(carry):
+        state, _, it = carry
+        new = step(state)
+        changed = functools.reduce(
+            jnp.logical_or,
+            [jnp.any(n != s) for n, s in zip(new, state)])
+        return new, changed, it + 1
+
+    (state, _, _) = jax.lax.while_loop(cond, body,
+                                       (state0, jnp.bool_(True), 0))
+    return state
+
+
+def _use_pallas_extents(backend: str, h: int, w: int) -> bool:
+    from .pallas_components import fits_vmem_extents
+
+    if backend in ("pallas", "pallas_interpret"):
+        return True
+    if backend == "xla":
+        return False
+    return jax.default_backend() == "tpu" and fits_vmem_extents(h, w)
+
+
 def largest_component_bbox(
-    mask: jnp.ndarray, min_size: int = MIN_PART_SIZE
+    mask: jnp.ndarray, min_size: int = MIN_PART_SIZE, backend: str = "auto"
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """(bbox xywh int32, valid bool) of the largest-bbox-area component.
 
@@ -108,36 +173,32 @@ def largest_component_bbox(
     or no foreground (chalearn_iuv_to_crop.py:121-149). Pass ``min_size=0`` when
     the caller applies the size rule at a different scale (device_pipeline runs
     CC at heatmap resolution and checks size in pixels).
+
+    Implementation: per-pixel component-extent propagation (no per-component
+    segment scatter; see _component_extents_xla). The max over pixels of the
+    per-pixel bbox area equals the max over components, and jnp.argmax's
+    first-maximum tie-break picks the component with the smallest first
+    (row-major) pixel — identical to the previous smallest-min-label bucket
+    argmax. Backend selection mirrors label_components ('auto' = Pallas
+    VMEM-resident propagation on TPU when the mask fits, XLA while-loop
+    otherwise).
     """
     h, w = mask.shape
-    labels = label_components(mask)
-    fg = mask
-    rows = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    if _use_pallas_extents(backend, h, w):
+        from .pallas_components import component_extents_pallas
 
-    # Compact per-root reductions: roots are label==linear index pixels. Use
-    # segment reductions over the flat label array. num_segments must be static:
-    # use h*w buckets via scatter-min/max on one flat array (memory h*w ints).
-    flat_labels = labels.reshape(-1)
-    inf = jnp.iinfo(jnp.int32).max
-    big = h * w
-
-    def seg_reduce(vals, init, op):
-        out = jnp.full((big + 1,), init, jnp.int32)
-        idx = jnp.where(flat_labels == inf, big, flat_labels)
-        return op(out.at[idx], vals.reshape(-1))[:big]
-
-    min_r = seg_reduce(rows, inf, lambda a, v: a.min(v))
-    max_r = seg_reduce(rows, -1, lambda a, v: a.max(v))
-    min_c = seg_reduce(cols, inf, lambda a, v: a.min(v))
-    max_c = seg_reduce(cols, -1, lambda a, v: a.max(v))
-
-    widths = jnp.where(max_c >= 0, max_c - min_c + 1, 0)
-    heights = jnp.where(max_r >= 0, max_r - min_r + 1, 0)
+        mnr, mxr, mnc, mxc = (
+            a[0] for a in component_extents_pallas(
+                mask[None], None, interpret=(backend == "pallas_interpret")))
+    else:
+        mnr, mxr, mnc, mxc = _component_extents_xla(mask)
+    widths = jnp.where(mxc >= 0, mxc - mnc + 1, 0).reshape(-1)
+    heights = jnp.where(mxr >= 0, mxr - mnr + 1, 0).reshape(-1)
     areas = widths * heights
     best = jnp.argmax(areas)
     bw, bh = widths[best], heights[best]
-    bbox = jnp.stack([min_c[best], min_r[best], bw, bh]).astype(jnp.int32)
+    bbox = jnp.stack([mnc.reshape(-1)[best], mnr.reshape(-1)[best], bw, bh]
+                     ).astype(jnp.int32)
     valid = (areas[best] > 0) & (bw >= min_size) & (bh >= min_size)
     bbox = jnp.where(valid, bbox, jnp.zeros(4, jnp.int32))
     return bbox, valid

@@ -67,6 +67,88 @@ def _cc_kernel(n_iters, mask_ref, labels_out):
     labels_out[0] = labels
 
 
+def _ext_kernel(n_iters, mask_ref, mnr_out, mxr_out, mnc_out, mxc_out):
+    """Per-component bbox extents by masked min/max propagation.
+
+    Same fixpoint argument as label propagation: every foreground neighbor is
+    by definition in the same 8-connected component, so min/max-pooling each
+    pixel's (row, col) over the masked neighborhood converges every pixel to
+    its component's bbox extents within the geodesic diameter. This replaces
+    the scatter-based segment min/max in ops/components.largest_component_bbox
+    — XLA lowers a TPU scatter to a sequential per-update while loop, which
+    profiled at ~0.39 ms per (frame, part) mask in the crop stage (~47 ms of a
+    0.94 s e2e clip)."""
+    mask = mask_ref[0] != 0
+    h, w = mask.shape
+    rows = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    neg = jnp.int32(-1)
+    mnr = jnp.where(mask, rows, _INF)
+    mxr = jnp.where(mask, rows, neg)
+    mnc = jnp.where(mask, cols, _INF)
+    mxc = jnp.where(mask, cols, neg)
+
+    def _shift(x, dy, dx, fill):
+        if dy > 0:
+            x = jnp.concatenate([jnp.full((dy, w), fill, x.dtype), x[:-dy]], 0)
+        elif dy < 0:
+            x = jnp.concatenate([x[-dy:], jnp.full((-dy, w), fill, x.dtype)], 0)
+        if dx > 0:
+            x = jnp.concatenate([jnp.full((h, dx), fill, x.dtype), x[:, :-dx]], 1)
+        elif dx < 0:
+            x = jnp.concatenate([x[:, -dx:], jnp.full((h, -dx), fill, x.dtype)], 1)
+        return x
+
+    offsets = ((1, 0), (-1, 0), (0, 1), (0, -1),
+               (1, 1), (1, -1), (-1, 1), (-1, -1))
+
+    def body(_, state):
+        mnr, mxr, mnc, mxc = state
+        nnr, xxr, nnc, xxc = mnr, mxr, mnc, mxc
+        for dy, dx in offsets:
+            nnr = jnp.minimum(nnr, _shift(mnr, dy, dx, _INF))
+            xxr = jnp.maximum(xxr, _shift(mxr, dy, dx, neg))
+            nnc = jnp.minimum(nnc, _shift(mnc, dy, dx, _INF))
+            xxc = jnp.maximum(xxc, _shift(mxc, dy, dx, neg))
+        return (jnp.where(mask, nnr, _INF), jnp.where(mask, xxr, neg),
+                jnp.where(mask, nnc, _INF), jnp.where(mask, xxc, neg))
+
+    mnr, mxr, mnc, mxc = jax.lax.fori_loop(0, n_iters, body,
+                                           (mnr, mxr, mnc, mxc))
+    mnr_out[0] = mnr
+    mxr_out[0] = mxr
+    mnc_out[0] = mnc
+    mxc_out[0] = mxc
+
+
+def fits_vmem_extents(h: int, w: int) -> bool:
+    # 4 extent fields + mask + ~4 shift temporaries, int32.
+    return 9 * h * w * 4 <= _VMEM_BUDGET_BYTES
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def component_extents_pallas(
+    masks: jnp.ndarray, n_iters: int | None = None, interpret: bool = False
+):
+    """Batched per-component bbox extents: (B, H, W) -> 4 x (B, H, W) int32.
+
+    Foreground pixels hold their component's (min_row, max_row, min_col,
+    max_col); background holds (INT32_MAX, -1, INT32_MAX, -1)."""
+    b, h, w = masks.shape
+    if n_iters is None:
+        n_iters = h + w
+    kernel = functools.partial(_ext_kernel, n_iters)
+    spec = pl.BlockSpec((1, h, w), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    grid_spec = pl.GridSpec(grid=(b,), in_specs=[spec], out_specs=[spec] * 4)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((b, h, w), jnp.int32)] * 4,
+        interpret=interpret,
+    )(masks.astype(jnp.int32))
+
+
 @functools.partial(jax.jit, static_argnums=(1, 2))
 def label_components_pallas(
     masks: jnp.ndarray, n_iters: int | None = None, interpret: bool = False
