@@ -223,8 +223,12 @@ def _flow_level(im1, im2, u, v, p: FlowParams):
             wu_, wd_, wl_, wr_ = _edge_weights(phi)
             wsum = wu_ + wd_ + wl_ + wr_
 
-            diag_u = a11 + p.alpha * wsum
-            diag_v = a22 + p.alpha * wsum
+            # Hoisted across the 30 x 2 half-sweeps: diagonal reciprocals
+            # (divide -> multiply) and the constant total-flow smoothness term
+            # (neighbor(u) - wsum*u). <= 1 ulp per sweep vs the unhoisted
+            # forms; the Pallas kernel makes the identical transformation.
+            inv_diag_u = 1.0 / (a11 + p.alpha * wsum)
+            inv_diag_v = 1.0 / (a22 + p.alpha * wsum)
 
             if _use_pallas_sor(p, h, w):
                 from .pallas_flow import sor_solve_pallas
@@ -236,13 +240,18 @@ def _flow_level(im1, im2, u, v, p: FlowParams):
                     du0=du, dv0=dv,
                 )
             else:
+                # total-flow smoothness term: sum w_pq ((u_q+du_q) - u_p),
+                # split as (neighbor(u) - wsum*u) + neighbor(du) with the
+                # first part constant across sweeps.
+                nu_const = _weighted_neighbor_apply(u, wu_, wd_, wl_, wr_) - wsum * u
+                nv_const = _weighted_neighbor_apply(v, wu_, wd_, wl_, wr_) - wsum * v
+
                 def half_sweep(du, dv, mask):
-                    # total-flow smoothness term: sum w_pq ((u_q+du_q) - u_p)
-                    su = _weighted_neighbor_apply(u + du, wu_, wd_, wl_, wr_) - wsum * u
-                    new_du = (b1 - a12 * dv + p.alpha * su) / diag_u
+                    su = nu_const + _weighted_neighbor_apply(du, wu_, wd_, wl_, wr_)
+                    new_du = (b1 - a12 * dv + p.alpha * su) * inv_diag_u
                     du = jnp.where(mask, (1 - p.omega) * du + p.omega * new_du, du)
-                    sv = _weighted_neighbor_apply(v + dv, wu_, wd_, wl_, wr_) - wsum * v
-                    new_dv = (b2 - a12 * du + p.alpha * sv) / diag_v
+                    sv = nv_const + _weighted_neighbor_apply(dv, wu_, wd_, wl_, wr_)
+                    new_dv = (b2 - a12 * du + p.alpha * sv) * inv_diag_v
                     dv = jnp.where(mask, (1 - p.omega) * dv + p.omega * new_dv, dv)
                     return du, dv
 

@@ -68,8 +68,14 @@ def _sor_kernel(n_sor, alpha, omega,
     h, w = a11.shape
 
     wsum = wu + wd + wl + wr
-    diag_u = a11 + alpha * wsum
-    diag_v = a22 + alpha * wsum
+    # Loop-invariant hoists (30 x 2 half-sweeps amortize them to noise): the
+    # diagonal reciprocals replace 120 VPU divides with multiplies, and the
+    # total-flow part of the smoothness term (neighbor(u) - wsum*u) is
+    # constant across sweeps. Both move values by <= 1 ulp per sweep vs the
+    # divide/unsplit forms (SOR contracts, so the drift damps); the XLA path
+    # (ops/flow._flow_level) makes the identical transformation.
+    inv_diag_u = 1.0 / (a11 + alpha * wsum)
+    inv_diag_v = 1.0 / (a22 + alpha * wsum)
 
     rows = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
@@ -85,12 +91,15 @@ def _sor_kernel(n_sor, alpha, omega,
             + wr * _shift(f, 0, -1)
         )
 
+    nu_const = neighbor(u) - wsum * u
+    nv_const = neighbor(v) - wsum * v
+
     def half(du, dv, mask):
-        su = neighbor(u + du) - wsum * u
-        new_du = (b1 - a12 * dv + alpha * su) / diag_u
+        su = nu_const + neighbor(du)
+        new_du = (b1 - a12 * dv + alpha * su) * inv_diag_u
         du = jnp.where(mask, (1 - omega) * du + omega * new_du, du)
-        sv = neighbor(v + dv) - wsum * v
-        new_dv = (b2 - a12 * du + alpha * sv) / diag_v
+        sv = nv_const + neighbor(dv)
+        new_dv = (b2 - a12 * du + alpha * sv) * inv_diag_v
         dv = jnp.where(mask, (1 - omega) * dv + omega * new_dv, dv)
         return du, dv
 
