@@ -15,6 +15,13 @@ On every participating host, run the SAME command:
     JAX_COORDINATOR_ADDRESS=host0:1234 JAX_NUM_PROCESSES=2 JAX_PROCESS_ID=p \
         python -m video_classification_tpu train slowfast-HTAH
 
+Executed for real (not just faked topology) by tests/test_multihost_real.py:
+two OS processes x 4 virtual CPU devices each, one 8-device global mesh,
+`JAX_CPU_COLLECTIVES_IMPLEMENTATION=gloo` standing in for ICI/DCN — both
+processes report the identical all-reduced loss and only process 0 writes
+checkpoints. On a real TPU pod the same command works with no collectives
+env var (the TPU runtime provides them).
+
 `__main__` calls :func:`initialize_distributed` (a no-op without a
 coordinator); when ``jax.process_count() > 1`` the Trainer feeds
 `data.dataset.train_batches_for_host` blocks through
