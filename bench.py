@@ -278,7 +278,7 @@ def measure_e2e(train_clips_per_sec):
 
 
 def run_remat_child():
-    """Child: the remat rung — batch 32/48 with conv-policy remat.
+    """Child: the remat rung — conv-policy remat at the largest batch that runs.
 
     Measured in a subprocess because large remat programs have crashed the
     remote compile helper (CLAUDE.md); a crash here must not cost the primary
@@ -287,13 +287,21 @@ def run_remat_child():
 
     Round-3 result: batches 32/48 + conv-policy remat reproducibly kill the
     remote compile helper (HTTP 500, allocation dump shows >500 MB bf16 conv
-    temps); batch 24 compiles and measures 73.2 clips/s — BELOW both the
-    non-remat batch-24 (74) and the batch-16 headline (94.7), so remat does
-    not duck the peak-HBM activation-compression penalty on this model and
-    batch 16 without remat stays the ladder's first rung. 24 is kept in the
-    list so the rung keeps recording a number when the big batches crash.
+    temps) — and a helper crash can wedge the whole tunnel for up to ~45 min
+    (CLAUDE.md), so the known-crashing batches only run with REMAT_BIG=1.
+    Batch 24 compiles and measures 73.2 clips/s — BELOW both the non-remat
+    batch-24 (74) and the batch-16 headline (94.7), so remat does not duck
+    the peak-HBM activation-compression penalty on this model and batch 16
+    without remat stays the ladder's first rung; 24 keeps the rung recording
+    a regression-trackable number every round.
     """
-    for batch in ([8] if SMOKE else [32, 48, 24]):
+    if SMOKE:
+        batches = [8]
+    elif os.environ.get("REMAT_BIG") == "1":
+        batches = [32, 48, 24]
+    else:
+        batches = [24]
+    for batch in batches:
         try:
             v, _ = run(batch, remat=True)
             print(json.dumps({"remat_clips_per_sec": round(float(v), 3),
@@ -320,6 +328,36 @@ def measure_remat():
         return None
 
 
+def run_train_child(batch: int, remat: bool):
+    """Child: one rung of the primary train-step ladder.
+
+    The primary metric runs in a subprocess with a hard timeout because a
+    wedged axon tunnel makes backend INIT hang (~45 min, CLAUDE.md) rather
+    than fail — in-process there is nothing to catch, and the whole bench
+    (and with it the round's BENCH artifact) would hang with it. A killed
+    child surfaces as a failed rung the parent can retry after a backoff,
+    by which time the tunnel has usually recovered.
+    """
+    v, t = run(batch, remat)
+    print(json.dumps({"clips_per_sec": float(v),
+                      "tflops": None if t is None else float(t)}))
+
+
+def measure_train(batch: int, remat: bool):
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--train-child",
+         str(batch), "1" if remat else "0"],
+        capture_output=True, text=True,
+        timeout=600 if SMOKE else 2400, env=os.environ.copy(),
+    )
+    if proc.returncode != 0:
+        tail = "\n".join(proc.stderr.strip().splitlines()[-3:])
+        raise RuntimeError(f"train child rc={proc.returncode}: {tail}")
+    line = proc.stdout.strip().splitlines()[-1]
+    payload = json.loads(line)
+    return payload["clips_per_sec"], payload["tflops"]
+
+
 def main():
     value = None
     tflops = None
@@ -336,13 +374,14 @@ def main():
     for attempt in range(1 if SMOKE else 3):
         for batch, remat in strategies:
             try:
-                value, tflops = run(batch, remat)
+                value, tflops = measure_train(batch, remat)
                 used = (batch, remat)
                 break
-            except Exception as e:  # OOM or compile failure: next rung
+            except Exception as e:  # OOM, compile failure, or hang: next rung
                 print(f"batch {batch} remat={remat} failed: "
                       f"{type(e).__name__}: {e}", file=sys.stderr)
-                transient = "UNAVAILABLE" in str(e) or "crashed" in str(e)
+                transient = ("UNAVAILABLE" in str(e) or "crashed" in str(e)
+                             or isinstance(e, subprocess.TimeoutExpired))
                 if transient:
                     break  # retry the whole attempt after a backoff
         if value is not None:
@@ -385,5 +424,8 @@ if __name__ == "__main__":
         run_e2e_child()
     elif "--remat-child" in sys.argv:
         run_remat_child()
+    elif "--train-child" in sys.argv:
+        i = sys.argv.index("--train-child")
+        run_train_child(int(sys.argv[i + 1]), sys.argv[i + 2] == "1")
     else:
         main()

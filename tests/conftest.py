@@ -14,9 +14,15 @@ import os
 os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (
-        _flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    _flags = (_flags + " --xla_force_host_platform_device_count=8").strip()
+# The in-process CPU collective rendezvous aborts the whole process if the 8
+# virtual-device threads don't all arrive within 40 s — on this 1-core host a
+# heavyweight step (or a competing process) serializes the device threads past
+# that window and the abort is spurious. Raise both rungs well clear of it.
+if "xla_cpu_collective_call_terminate_timeout_seconds" not in _flags:
+    _flags += (" --xla_cpu_collective_call_warn_stuck_timeout_seconds=120"
+               " --xla_cpu_collective_call_terminate_timeout_seconds=900")
+os.environ["XLA_FLAGS"] = _flags
 
 import jax  # noqa: E402  (import after env setup)
 
