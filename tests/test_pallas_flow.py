@@ -1,10 +1,13 @@
-"""Pallas SOR kernel vs the XLA reference loop (interpret mode on CPU)."""
+"""Pallas SOR / warp kernels vs the XLA reference paths (interpret on CPU)."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
-from video_classification_tpu.ops.flow import FlowParams, coarse2fine_flow
-from video_classification_tpu.ops.pallas_flow import fits_vmem, sor_solve_pallas
+from video_classification_tpu.ops.flow import (
+    FlowParams, _warp, _warp_bilinear, coarse2fine_flow)
+from video_classification_tpu.ops.pallas_flow import (
+    fits_vmem, fits_vmem_warp, sor_solve_pallas, warp_select_shift_pallas)
 
 
 def test_fits_vmem():
@@ -48,3 +51,75 @@ def test_sor_solve_direct():
     )
     np.testing.assert_allclose(np.asarray(du), np.asarray(b1 / a11), atol=1e-4)
     np.testing.assert_allclose(np.asarray(dv), np.asarray(b2 / a22), atol=1e-4)
+
+
+def _warp_case(b=2, h=24, w=40, c=3, seed=0, scale=3.0):
+    rng = np.random.RandomState(seed)
+    im = jnp.asarray(rng.rand(b, h, w, c).astype(np.float32))
+    u = jnp.asarray((rng.rand(b, h, w).astype(np.float32) - 0.5) * 2 * scale)
+    v = jnp.asarray((rng.rand(b, h, w).astype(np.float32) - 0.5) * 2 * scale)
+    return im, u, v
+
+
+def test_warp_kernel_matches_gather():
+    """Select-shift warp == gather warp, bit-for-bit, for in-range flows."""
+    im, u, v = _warp_case()
+    want = np.asarray(_warp_bilinear(im, u, v))
+    got = np.asarray(warp_select_shift_pallas(im, u, v, 4, interpret=True))
+    np.testing.assert_allclose(got, want, atol=1e-6, rtol=0)
+    # Identical association order: exact on matching compiler fma choices.
+    assert float(np.abs(got - want).max()) <= 1e-6
+
+
+def test_warp_kernel_integer_and_border_flows():
+    """Integer displacements (wy = wx = 0) and clamped borders are exact."""
+    b, h, w, c = 1, 16, 32, 2
+    rng = np.random.RandomState(3)
+    im = jnp.asarray(rng.rand(b, h, w, c).astype(np.float32))
+    # Constant +3 integer flow pushes the bottom/right edges past the border
+    # (the clip + corner-clamp path), plus a -2.0 row to hit the other side.
+    u = jnp.full((b, h, w), 3.0, jnp.float32).at[:, :4].set(-2.0)
+    v = jnp.full((b, h, w), 3.0, jnp.float32).at[:, :, :6].set(-2.0)
+    want = np.asarray(_warp_bilinear(im, u, v))
+    got = np.asarray(warp_select_shift_pallas(im, u, v, 3, interpret=True))
+    np.testing.assert_allclose(got, want, atol=1e-6, rtol=0)
+
+
+def test_warp_dispatch_out_of_range_falls_back():
+    """_warp with the kernel backend routes |flow| > radius to the gather."""
+    im, u, v = _warp_case(seed=5, scale=2.0)
+    p = FlowParams(warp="shift_interpret", warp_radius=4)
+    # In-range: kernel path (exact vs gather).
+    got_in = np.asarray(jax.jit(lambda *a: _warp(*a, p))(im, u, v))
+    np.testing.assert_allclose(got_in, np.asarray(_warp_bilinear(im, u, v)),
+                               atol=1e-6, rtol=0)
+    # Out-of-range flow (one pixel at 3x radius): cond must take the gather
+    # branch and still be exact.
+    u_big = u.at[0, 3, 7].set(12.0)
+    got_out = np.asarray(jax.jit(lambda *a: _warp(*a, p))(im, u_big, v))
+    np.testing.assert_allclose(
+        got_out, np.asarray(_warp_bilinear(im, u_big, v)), atol=1e-6, rtol=0)
+
+
+def test_flow_solve_with_shift_warp_matches_gather_warp():
+    """Full coarse2fine solve with the kernel warp == gather warp solve."""
+    rng = np.random.RandomState(7)
+    import cv2
+
+    base = cv2.GaussianBlur(rng.rand(40, 48, 3).astype(np.float32), (0, 0), 2.0)
+    m = np.float32([[1, 0, 1.5], [0, 1, -1.0]])
+    shifted = cv2.warpAffine(base, m, (48, 40), borderMode=cv2.BORDER_REFLECT)
+    p_gather = FlowParams(n_outer=2, n_sor=10, backend="xla", warp="gather")
+    p_shift = FlowParams(n_outer=2, n_sor=10, backend="xla",
+                         warp="shift_interpret", warp_radius=6)
+    u1, v1 = coarse2fine_flow(jnp.asarray(base[None]),
+                              jnp.asarray(shifted[None]), p_gather)
+    u2, v2 = coarse2fine_flow(jnp.asarray(base[None]),
+                              jnp.asarray(shifted[None]), p_shift)
+    np.testing.assert_allclose(np.asarray(u1), np.asarray(u2), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), atol=1e-5)
+
+
+def test_fits_vmem_warp():
+    assert fits_vmem_warp(240, 320, 3)
+    assert not fits_vmem_warp(1200, 1600, 3)

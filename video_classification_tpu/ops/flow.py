@@ -48,6 +48,15 @@ class FlowParams(NamedTuple):
     # fits the VMEM budget, XLA loop otherwise; 'xla' | 'pallas' |
     # 'pallas_interpret' force a choice (the latter for CPU testing).
     backend: str = "auto"
+    # Warp backend: 'auto' = Pallas select-shift kernel on TPU at levels that
+    # fit VMEM with min(h, w) >= 64 (95% of warp rows), gather elsewhere;
+    # 'gather' forces the XLA gather; 'shift' / 'shift_interpret' force the
+    # kernel (the latter interpreted, for CPU testing). The kernel path is
+    # guarded by a lax.cond: batches where any |u| or |v| exceeds
+    # ``warp_radius`` fall back to the gather, so results are exact for ALL
+    # inputs (see pallas_flow.warp_select_shift_pallas).
+    warp: str = "auto"
+    warp_radius: int = 8
 
 
 DEFAULT_PARAMS = FlowParams()
@@ -136,6 +145,40 @@ def _warp_bilinear(im: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarr
     )
 
 
+def _use_pallas_warp(p: FlowParams, h: int, w: int, c: int) -> bool:
+    from .pallas_flow import fits_vmem_warp
+
+    if p.warp in ("shift", "shift_interpret"):
+        return True
+    if p.warp == "gather":
+        return False
+    # 'auto': the select-shift kernel wins only where gather rows are
+    # plentiful — the finest pyramid levels. Coarse levels (min dim < 64,
+    # ~5% of gathered rows) keep the gather.
+    return (jax.default_backend() == "tpu" and fits_vmem_warp(h, w, c)
+            and min(h, w) >= 64)
+
+
+def _warp(im: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray,
+          p: FlowParams) -> jnp.ndarray:
+    """Warp with the fastest exact backend (see FlowParams.warp)."""
+    b, h, w, c = im.shape
+    if not _use_pallas_warp(p, h, w, c):
+        return _warp_bilinear(im, u, v)
+    from .pallas_flow import warp_select_shift_pallas
+
+    r = float(p.warp_radius)
+    in_range = (jnp.max(jnp.abs(u)) <= r) & (jnp.max(jnp.abs(v)) <= r)
+    return jax.lax.cond(
+        in_range,
+        lambda a, uu, vv: warp_select_shift_pallas(
+            a, uu, vv, p.warp_radius,
+            interpret=(p.warp == "shift_interpret")),
+        _warp_bilinear,
+        im, u, v,
+    )
+
+
 def _grad_xy(im: jnp.ndarray):
     """Central differences with replicated borders over (B,H,W,C)."""
     px = jnp.pad(im, ((0, 0), (0, 0), (1, 1), (0, 0)), mode="edge")
@@ -196,7 +239,7 @@ def _flow_level(im1, im2, u, v, p: FlowParams):
     red = _checkerboard(h, w)
 
     for _outer in range(p.n_outer):
-        warped = _warp_bilinear(im2, u, v)
+        warped = _warp(im2, u, v, p)
         ix2, iy2 = _grad_xy(warped)
         ix1, iy1 = _grad_xy(im1)
         ix = 0.5 * (ix1 + ix2)

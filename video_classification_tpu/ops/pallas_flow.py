@@ -114,6 +114,99 @@ def _sor_kernel(n_sor, alpha, omega,
     dv_out[0] = dv
 
 
+def fits_vmem_warp(h: int, w: int, c: int) -> bool:
+    """VMEM budget for the select-shift warp kernel: image + output (C each)
+    plus ~12 (H, W) f32 index/weight/temp fields."""
+    return (2 * c + 12) * h * w * 4 <= _VMEM_BUDGET_BYTES
+
+
+def _warp_kernel(radius, im_ref, u_ref, v_ref, out_ref):
+    """Bilinear warp as a masked sum over static integer shifts.
+
+    out(y, x) = im(clip(y + v), clip(x + u)) bilinearly blended — identical
+    math to ops/flow._warp_bilinear, but instead of one gathered row per
+    output pixel (the v5e gather floor is ~150M rows/s, benchmarks/
+    bench_warp.py) the 2x2 corner fetch becomes a select over (2R+2)^2
+    static shifts running at VPU rates from VMEM.
+
+    Bit-exactness with the gather path: the blend weights separate per axis
+    (wy_sel(sy) in {1-wy, wy, 0}, wx_sel(sx) likewise), each contribution is
+    computed as (im_shift * wy_sel) * wx_sel — the gather path's
+    v00*(1-wy)*(1-wx) association — and ascending (sy, sx) order visits the
+    four nonzero corners in the gather blend's v00,v01,v10,v11 summation
+    order with exact +0.0 terms between, so the accumulated f32 value is the
+    same bit pattern (modulo compiler fma contraction).
+
+    Zero-filled out-of-frame shifts are safe: clamped corner indices satisfy
+    y+sy in [0, h-1] whenever the selector is nonzero, so padding is only
+    ever multiplied by 0.0.
+    """
+    u = u_ref[0]
+    v = v_ref[0]
+    h, w = u.shape
+    c = im_ref.shape[1]
+
+    rows_i = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    cols_i = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    ys = jnp.clip(rows_i.astype(jnp.float32) + v, 0.0, h - 1.0)
+    xs = jnp.clip(cols_i.astype(jnp.float32) + u, 0.0, w - 1.0)
+    y0 = jnp.minimum(jnp.floor(ys).astype(jnp.int32), h - 2)
+    x0 = jnp.minimum(jnp.floor(xs).astype(jnp.int32), w - 2)
+    wy = ys - y0
+    wx = xs - x0
+    one_m_wy = 1.0 - wy
+    one_m_wx = 1.0 - wx
+    vint = y0 - rows_i
+    uint = x0 - cols_i
+
+    im = [im_ref[0, ch] for ch in range(c)]
+    acc = [jnp.zeros((h, w), jnp.float32) for _ in range(c)]
+    zero = jnp.zeros((h, w), jnp.float32)
+    for sy in range(-radius, radius + 2):
+        wy_sel = jnp.where(vint == sy, one_m_wy,
+                           jnp.where(vint == sy - 1, wy, zero))
+        for sx in range(-radius, radius + 2):
+            wx_sel = jnp.where(uint == sx, one_m_wx,
+                               jnp.where(uint == sx - 1, wx, zero))
+            for ch in range(c):
+                shifted = _shift(im[ch], -sy, -sx)
+                acc[ch] = acc[ch] + (shifted * wy_sel) * wx_sel
+    for ch in range(c):
+        out_ref[0, ch] = acc[ch]
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4))
+def warp_select_shift_pallas(im, u, v, radius: int, interpret: bool = False):
+    """Batched bilinear warp: im (B, H, W, C) f32, u/v (B, H, W) -> (B, H, W, C).
+
+    EXACT only when max(|u|, |v|) <= radius everywhere — callers must guard
+    (ops/flow routes out-of-range batches to the gather warp via lax.cond).
+    """
+    b, h, w, c = im.shape
+    imt = jnp.transpose(im, (0, 3, 1, 2))  # (B, C, H, W): W in lanes, H sublanes
+    kernel = functools.partial(_warp_kernel, radius)
+    grid_spec = pl.GridSpec(
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, c, h, w), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h, w), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h, w), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, c, h, w), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, c, h, w), jnp.float32),
+        interpret=interpret,
+    )(imt, u, v)
+    return jnp.transpose(out, (0, 2, 3, 1))
+
+
 @functools.partial(jax.jit, static_argnums=(11, 12, 13, 14))
 def sor_solve_pallas(a11, a12, a22, b1, b2, wu, wd, wl, wr, u, v,
                      n_sor: int, alpha: float, omega: float,
