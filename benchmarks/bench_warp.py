@@ -159,16 +159,29 @@ def bench(fn, im, u, v, iters=5, chain=20):
 
 
 def main():
+    from video_classification_tpu.ops.pallas_flow import warp_select_shift_pallas
+
     key = jax.random.PRNGKey(0)
     im = jax.random.uniform(key, (B, H, W, C), jnp.float32)
+    # |flow| <= 4.5 so the R=5 Pallas tier is exact too (gather timings are
+    # magnitude-independent; the production default radius is 8).
     u = jax.random.uniform(jax.random.PRNGKey(1), (B, H, W), jnp.float32,
-                           -6.0, 6.0)
+                           -4.5, 4.5)
     v = jax.random.uniform(jax.random.PRNGKey(2), (B, H, W), jnp.float32,
-                           -6.0, 6.0)
+                           -4.5, 4.5)
+
+    def pallas_r(radius, unroll):
+        def fn(im, u, v):
+            return warp_select_shift_pallas(im, u, v, radius, unroll=unroll)
+        return fn
+
     base = None
     for name, fn in [("packed_flat", warp_packed_flat),
                      ("packed_flat_inbounds", warp_packed_flat_inbounds),
-                     ("packed_barrier", warp_packed_barrier)]:
+                     ("packed_barrier", warp_packed_barrier),
+                     ("pallas_loop_r8", pallas_r(8, False)),
+                     ("pallas_loop_r5", pallas_r(5, False)),
+                     ("pallas_unroll_r5", pallas_r(5, True))]:
         try:
             ms, out = bench(fn, im, u, v)
             if base is None:

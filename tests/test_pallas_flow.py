@@ -71,6 +71,18 @@ def test_warp_kernel_matches_gather():
     assert float(np.abs(got - want).max()) <= 1e-6
 
 
+def test_warp_kernel_loop_variant_bit_identical():
+    """fori_loop/roll kernel == unrolled kernel == gather, bit-for-bit."""
+    im, u, v = _warp_case(seed=11)
+    want = np.asarray(_warp_bilinear(im, u, v))
+    unrolled = np.asarray(
+        warp_select_shift_pallas(im, u, v, 4, interpret=True, unroll=True))
+    looped = np.asarray(
+        warp_select_shift_pallas(im, u, v, 4, interpret=True, unroll=False))
+    assert (looped == unrolled).all()
+    np.testing.assert_allclose(looped, want, atol=1e-6, rtol=0)
+
+
 def test_warp_kernel_integer_and_border_flows():
     """Integer displacements (wy = wx = 0) and clamped borders are exact."""
     b, h, w, c = 1, 16, 32, 2

@@ -175,16 +175,73 @@ def _warp_kernel(radius, im_ref, u_ref, v_ref, out_ref):
         out_ref[0, ch] = acc[ch]
 
 
-@functools.partial(jax.jit, static_argnums=(3, 4))
-def warp_select_shift_pallas(im, u, v, radius: int, interpret: bool = False):
+def _warp_kernel_loop(radius, im_ref, u_ref, v_ref, out_ref):
+    """Same math as _warp_kernel, but the (2R+2)^2 shifts run in nested
+    fori_loops with dynamic ``pltpu.roll`` rotates instead of unrolled static
+    slices — (2R+2)^2 x less generated code (the unrolled variant emits ~1k
+    vector-op groups at R=8, a compile-time hazard for the remote Mosaic
+    helper). Roll wraparound values are safe unmasked: a nonzero selector
+    implies the source index y+sy (x+sx) equals the clamped corner y0 or
+    y0+1, which is always in frame, so wrapped lanes only ever multiply 0.0.
+    Iteration order ascending (sy, sx) and the (im*wy_sel)*wx_sel association
+    match _warp_kernel, so results are bit-identical to it and the gather."""
+    u = u_ref[0]
+    v = v_ref[0]
+    h, w = u.shape
+    c = im_ref.shape[1]
+    n = 2 * radius + 2
+
+    rows_i = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    cols_i = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    ys = jnp.clip(rows_i.astype(jnp.float32) + v, 0.0, h - 1.0)
+    xs = jnp.clip(cols_i.astype(jnp.float32) + u, 0.0, w - 1.0)
+    y0 = jnp.minimum(jnp.floor(ys).astype(jnp.int32), h - 2)
+    x0 = jnp.minimum(jnp.floor(xs).astype(jnp.int32), w - 2)
+    wy = ys - y0.astype(jnp.float32)
+    wx = xs - x0.astype(jnp.float32)
+    one_m_wy = 1.0 - wy
+    one_m_wx = 1.0 - wx
+    vint = y0 - rows_i
+    uint = x0 - cols_i
+
+    im = [im_ref[0, ch] for ch in range(c)]
+    zero = jnp.zeros((h, w), jnp.float32)
+
+    def body_sy(iy, acc):
+        sy = iy - radius
+        wy_sel = jnp.where(vint == sy, one_m_wy,
+                           jnp.where(vint == sy - 1, wy, zero))
+        rows = [pltpu.roll(im[ch], -sy, axis=0) for ch in range(c)]
+
+        def body_sx(ix, acc):
+            sx = ix - radius
+            wx_sel = jnp.where(uint == sx, one_m_wx,
+                               jnp.where(uint == sx - 1, wx, zero))
+            return tuple(
+                acc[ch] + (pltpu.roll(rows[ch], -sx, axis=1) * wy_sel) * wx_sel
+                for ch in range(c))
+
+        return jax.lax.fori_loop(0, n, body_sx, acc)
+
+    acc = jax.lax.fori_loop(0, n, body_sy, tuple(zero for _ in range(c)))
+    for ch in range(c):
+        out_ref[0, ch] = acc[ch]
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4, 5))
+def warp_select_shift_pallas(im, u, v, radius: int, interpret: bool = False,
+                             unroll: bool = False):
     """Batched bilinear warp: im (B, H, W, C) f32, u/v (B, H, W) -> (B, H, W, C).
 
     EXACT only when max(|u|, |v|) <= radius everywhere — callers must guard
     (ops/flow routes out-of-range batches to the gather warp via lax.cond).
+    ``unroll=True`` selects the statically-unrolled kernel (bit-identical
+    output; see _warp_kernel_loop for the trade).
     """
     b, h, w, c = im.shape
     imt = jnp.transpose(im, (0, 3, 1, 2))  # (B, C, H, W): W in lanes, H sublanes
-    kernel = functools.partial(_warp_kernel, radius)
+    kernel = functools.partial(_warp_kernel if unroll else _warp_kernel_loop,
+                               radius)
     grid_spec = pl.GridSpec(
         grid=(b,),
         in_specs=[
