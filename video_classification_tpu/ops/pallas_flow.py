@@ -116,11 +116,13 @@ def _sor_kernel(n_sor, alpha, omega,
 
 def fits_vmem_warp(h: int, w: int, c: int) -> bool:
     """VMEM budget for the select-shift warp kernel: image + output (C each)
-    plus ~12 (H, W) f32 index/weight/temp fields."""
-    return (2 * c + 12) * h * w * 4 <= _VMEM_BUDGET_BYTES
+    plus ~12 (H, W) f32 index/weight/temp fields, at tile-padded sizes."""
+    hp = -(-h // 8) * 8
+    wp = -(-w // 128) * 128
+    return (2 * c + 12) * hp * wp * 4 <= _VMEM_BUDGET_BYTES
 
 
-def _warp_kernel(radius, im_ref, u_ref, v_ref, out_ref):
+def _warp_kernel(radius, h, w, im_ref, u_ref, v_ref, out_ref):
     """Bilinear warp as a masked sum over static integer shifts.
 
     out(y, x) = im(clip(y + v), clip(x + u)) bilinearly blended — identical
@@ -140,14 +142,19 @@ def _warp_kernel(radius, im_ref, u_ref, v_ref, out_ref):
     Zero-filled out-of-frame shifts are safe: clamped corner indices satisfy
     y+sy in [0, h-1] whenever the selector is nonzero, so padding is only
     ever multiplied by 0.0.
+
+    ``h``/``w`` are the LOGICAL image dims; the refs may be padded to
+    TPU-tile-aligned shapes (rows of 8, lanes of 128). The clip math uses the
+    logical dims, so real pixels only ever blend real pixels; padded output
+    rows/cols are garbage and sliced off by the wrapper.
     """
     u = u_ref[0]
     v = v_ref[0]
-    h, w = u.shape
+    hp, wp = u.shape
     c = im_ref.shape[1]
 
-    rows_i = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
-    cols_i = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    rows_i = jax.lax.broadcasted_iota(jnp.int32, (hp, wp), 0)
+    cols_i = jax.lax.broadcasted_iota(jnp.int32, (hp, wp), 1)
     ys = jnp.clip(rows_i.astype(jnp.float32) + v, 0.0, h - 1.0)
     xs = jnp.clip(cols_i.astype(jnp.float32) + u, 0.0, w - 1.0)
     y0 = jnp.minimum(jnp.floor(ys).astype(jnp.int32), h - 2)
@@ -160,8 +167,8 @@ def _warp_kernel(radius, im_ref, u_ref, v_ref, out_ref):
     uint = x0 - cols_i
 
     im = [im_ref[0, ch] for ch in range(c)]
-    acc = [jnp.zeros((h, w), jnp.float32) for _ in range(c)]
-    zero = jnp.zeros((h, w), jnp.float32)
+    acc = [jnp.zeros((hp, wp), jnp.float32) for _ in range(c)]
+    zero = jnp.zeros((hp, wp), jnp.float32)
     for sy in range(-radius, radius + 2):
         wy_sel = jnp.where(vint == sy, one_m_wy,
                            jnp.where(vint == sy - 1, wy, zero))
@@ -175,24 +182,27 @@ def _warp_kernel(radius, im_ref, u_ref, v_ref, out_ref):
         out_ref[0, ch] = acc[ch]
 
 
-def _warp_kernel_loop(radius, im_ref, u_ref, v_ref, out_ref):
-    """Same math as _warp_kernel, but the (2R+2)^2 shifts run in nested
-    fori_loops with dynamic ``pltpu.roll`` rotates instead of unrolled static
-    slices — (2R+2)^2 x less generated code (the unrolled variant emits ~1k
-    vector-op groups at R=8, a compile-time hazard for the remote Mosaic
-    helper). Roll wraparound values are safe unmasked: a nonzero selector
-    implies the source index y+sy (x+sx) equals the clamped corner y0 or
-    y0+1, which is always in frame, so wrapped lanes only ever multiply 0.0.
-    Iteration order ascending (sy, sx) and the (im*wy_sel)*wx_sel association
-    match _warp_kernel, so results are bit-identical to it and the gather."""
+def _warp_kernel_loop(radius, h, w, im_ref, u_ref, v_ref, out_ref):
+    """Same math as _warp_kernel, but the (2R+2)^2 shifts run in one flat
+    fori_loop with dynamic ``pltpu.roll`` rotates instead of unrolled static
+    slices — (2R+2)^2 x less generated code (the unrolled variant's per-shift
+    stack buffers blow the 16 MB scoped-VMEM limit at 240x320: 86 MB demand).
+    Roll wraparound values are safe unmasked: a nonzero selector implies the
+    source index y+sy (x+sx) equals the clamped corner y0 or y0+1, which is
+    always inside the logical frame, so wrapped/padded lanes only ever
+    multiply 0.0. Iteration order ascending (sy, sx) and the
+    (im*wy_sel)*wx_sel association match _warp_kernel, so results are
+    bit-identical to it and the gather. ``h``/``w`` are the logical dims (see
+    _warp_kernel: dynamic lane rolls need 128-aligned widths, so the wrapper
+    pads)."""
     u = u_ref[0]
     v = v_ref[0]
-    h, w = u.shape
+    hp, wp = u.shape
     c = im_ref.shape[1]
     n = 2 * radius + 2
 
-    rows_i = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
-    cols_i = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    rows_i = jax.lax.broadcasted_iota(jnp.int32, (hp, wp), 0)
+    cols_i = jax.lax.broadcasted_iota(jnp.int32, (hp, wp), 1)
     ys = jnp.clip(rows_i.astype(jnp.float32) + v, 0.0, h - 1.0)
     xs = jnp.clip(cols_i.astype(jnp.float32) + u, 0.0, w - 1.0)
     y0 = jnp.minimum(jnp.floor(ys).astype(jnp.int32), h - 2)
@@ -205,25 +215,28 @@ def _warp_kernel_loop(radius, im_ref, u_ref, v_ref, out_ref):
     uint = x0 - cols_i
 
     im = [im_ref[0, ch] for ch in range(c)]
-    zero = jnp.zeros((h, w), jnp.float32)
+    zero = jnp.zeros((hp, wp), jnp.float32)
 
-    def body_sy(iy, acc):
-        sy = iy - radius
+    def body(i, acc):
+        sy = i // n - radius
+        sx = i % n - radius
         wy_sel = jnp.where(vint == sy, one_m_wy,
                            jnp.where(vint == sy - 1, wy, zero))
-        rows = [pltpu.roll(im[ch], -sy, axis=0) for ch in range(c)]
+        wx_sel = jnp.where(uint == sx, one_m_wx,
+                           jnp.where(uint == sx - 1, wx, zero))
+        # Non-negative rotate amounts only: Mosaic's dynamic rotate silently
+        # corrupts NEGATIVE amounts at larger shapes on real hardware
+        # (verified: roll(240x384, -3) wrong on both axes, roll(.., +5) ok,
+        # small shapes fine either way — 2026-08-18 v5e probe).
+        ry = (-sy) % hp
+        rx = (-sx) % wp
+        return tuple(
+            acc[ch]
+            + (pltpu.roll(pltpu.roll(im[ch], ry, axis=0), rx, axis=1)
+               * wy_sel) * wx_sel
+            for ch in range(c))
 
-        def body_sx(ix, acc):
-            sx = ix - radius
-            wx_sel = jnp.where(uint == sx, one_m_wx,
-                               jnp.where(uint == sx - 1, wx, zero))
-            return tuple(
-                acc[ch] + (pltpu.roll(rows[ch], -sx, axis=1) * wy_sel) * wx_sel
-                for ch in range(c))
-
-        return jax.lax.fori_loop(0, n, body_sx, acc)
-
-    acc = jax.lax.fori_loop(0, n, body_sy, tuple(zero for _ in range(c)))
+    acc = jax.lax.fori_loop(0, n * n, body, tuple(zero for _ in range(c)))
     for ch in range(c):
         out_ref[0, ch] = acc[ch]
 
@@ -239,29 +252,39 @@ def warp_select_shift_pallas(im, u, v, radius: int, interpret: bool = False,
     output; see _warp_kernel_loop for the trade).
     """
     b, h, w, c = im.shape
+    # Mosaic's dynamic lane/sublane rotates require tile-aligned shapes
+    # ("unsupported unaligned shape" otherwise): pad rows to 8, lanes to 128.
+    # The kernels do their clip math with the logical (h, w), so padding never
+    # leaks into real output pixels (sliced off below).
+    hp = -(-h // 8) * 8
+    wp = -(-w // 128) * 128
     imt = jnp.transpose(im, (0, 3, 1, 2))  # (B, C, H, W): W in lanes, H sublanes
+    if (hp, wp) != (h, w):
+        imt = jnp.pad(imt, ((0, 0), (0, 0), (0, hp - h), (0, wp - w)))
+        u = jnp.pad(u, ((0, 0), (0, hp - h), (0, wp - w)))
+        v = jnp.pad(v, ((0, 0), (0, hp - h), (0, wp - w)))
     kernel = functools.partial(_warp_kernel if unroll else _warp_kernel_loop,
-                               radius)
+                               radius, h, w)
     grid_spec = pl.GridSpec(
         grid=(b,),
         in_specs=[
-            pl.BlockSpec((1, c, h, w), lambda i: (i, 0, 0, 0),
+            pl.BlockSpec((1, c, hp, wp), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, h, w), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, hp, wp), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, h, w), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, hp, wp), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, c, h, w), lambda i: (i, 0, 0, 0),
+        out_specs=pl.BlockSpec((1, c, hp, wp), lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
     )
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b, c, h, w), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, c, hp, wp), jnp.float32),
         interpret=interpret,
     )(imt, u, v)
-    return jnp.transpose(out, (0, 2, 3, 1))
+    return jnp.transpose(out[:, :, :h, :w], (0, 2, 3, 1))
 
 
 @functools.partial(jax.jit, static_argnums=(11, 12, 13, 14))
