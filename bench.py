@@ -173,9 +173,15 @@ def run_e2e_child():
         flow_params = FlowParams()
     s = -(-t_raw // interval)
 
+    from video_classification_tpu.utils.synthetic import coherent_motion_frames
+
     key = jax.random.PRNGKey(0)
-    frames = jax.random.randint(key, (t_raw, h, w, 3), 0, 256, jnp.uint8)
-    depth = jax.random.randint(key, (t_raw, h, w, 1), 0, 256, jnp.uint8)
+    # Coherent-motion frames, not noise: the adaptive warp cascade
+    # (ops/flow._warp) must be measured at the tier real footage hits —
+    # pure noise solves to near-zero flow and would flatter it (cheapest
+    # tier everywhere). See utils/synthetic.py.
+    frames = coherent_motion_frames(t_raw, h, w, key)
+    depth = frames[..., :1]
     dets = Detections(
         boxes_xyxy=jnp.tile(
             jnp.asarray([[w * 0.5, h * 0.5, w * 1.5, h * 1.5]], jnp.float32), (s, 1)),
@@ -199,11 +205,12 @@ def run_e2e_child():
 
     # Standalone flow cost (regression tracking): guarded pair_chunk=4 path
     # at full resolution — batch >= 8 full-res flow programs crash the worker.
+    # Reuses the coherent-motion frames so the warp cascade is measured at the
+    # tier real footage hits (noise frames give near-zero flow and would
+    # flatter this rung).
     from video_classification_tpu.ops.flow import video_flow_uint8
 
-    fkey = jax.random.PRNGKey(1)
-    fframes = jax.random.randint(fkey, (5 if SMOKE else 9, h, w, 3), 0, 256,
-                                 jnp.uint8)
+    fframes = frames[: 5 if SMOKE else 9]
     ffn = jax.jit(lambda fr: video_flow_uint8(fr, flow_params, pair_chunk=4))
     fo = ffn(fframes)
     float(jnp.sum(fo.astype(jnp.float32)))

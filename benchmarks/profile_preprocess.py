@@ -38,8 +38,12 @@ def build():
     t_raw, h, w, hm = int(cfg.CHALEARN.CLIP_LEN) * interval, 240, 320, 112
     s = -(-t_raw // interval)
     key = jax.random.PRNGKey(0)
-    frames = jax.random.randint(key, (t_raw, h, w, 3), 0, 256, jnp.uint8)
-    depth = jax.random.randint(key, (t_raw, h, w, 1), 0, 256, jnp.uint8)
+    # Coherent motion so the warp cascade profiles at the real-footage tier
+    # (noise frames -> near-zero flow -> cheapest tier; see utils/synthetic).
+    from video_classification_tpu.utils.synthetic import coherent_motion_frames
+
+    frames = coherent_motion_frames(t_raw, h, w, key)
+    depth = frames[..., :1]
     dets = Detections(
         boxes_xyxy=jnp.tile(
             jnp.asarray([[w * 0.5, h * 0.5, w * 1.5, h * 1.5]], jnp.float32),

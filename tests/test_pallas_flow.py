@@ -113,6 +113,25 @@ def test_warp_dispatch_out_of_range_falls_back():
         got_out, np.asarray(_warp_bilinear(im, u_big, v)), atol=1e-6, rtol=0)
 
 
+def test_warp_cascade_every_tier_exact():
+    """Each radius tier of the cascade (and the gather fallback) is exact.
+
+    _warp dispatches on the batch's max |flow| via lax.switch over
+    ``warp_tiers + (warp_radius,)`` then the gather; scale the same random
+    flow field so its max lands inside tier 2, between 2 and 5, between 5
+    and the radius 8, and past the radius — all four branches must equal the
+    gather reference bit-for-bit.
+    """
+    p = FlowParams(warp="shift_interpret", warp_radius=8, warp_tiers=(2, 5))
+    im, u, v = _warp_case(seed=9, scale=1.0)  # max |flow| <= 1
+    for scale in (1.5, 4.0, 7.0, 30.0):
+        us, vs = u * scale, v * scale
+        want = np.asarray(_warp_bilinear(im, us, vs))
+        got = np.asarray(jax.jit(lambda *a: _warp(*a, p))(im, us, vs))
+        np.testing.assert_allclose(got, want, atol=1e-6, rtol=0,
+                                   err_msg=f"scale={scale}")
+
+
 def test_flow_solve_with_shift_warp_matches_gather_warp():
     """Full coarse2fine solve with the kernel warp == gather warp solve."""
     rng = np.random.RandomState(7)

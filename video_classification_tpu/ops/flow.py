@@ -51,12 +51,16 @@ class FlowParams(NamedTuple):
     # Warp backend: 'auto' = Pallas select-shift kernel on TPU at levels that
     # fit VMEM with min(h, w) >= 64 (95% of warp rows), gather elsewhere;
     # 'gather' forces the XLA gather; 'shift' / 'shift_interpret' force the
-    # kernel (the latter interpreted, for CPU testing). The kernel path is
-    # guarded by a lax.cond: batches where any |u| or |v| exceeds
-    # ``warp_radius`` fall back to the gather, so results are exact for ALL
-    # inputs (see pallas_flow.warp_select_shift_pallas).
+    # kernel (the latter interpreted, for CPU testing). The kernel path is a
+    # RADIUS CASCADE (lax.switch on the batch's actual max |flow|): the
+    # cheapest exact kernel handles the batch — cost scales with
+    # (2R+2)^2 selects, so small-motion batches (consecutive raw frames are
+    # typically <= 2-3 px apart) run ~7x cheaper than the R=8 tier — and
+    # batches exceeding ``warp_radius`` fall back to the gather, so results
+    # are exact for ALL inputs (see pallas_flow.warp_select_shift_pallas).
     warp: str = "auto"
     warp_radius: int = 8
+    warp_tiers: Tuple[int, ...] = (2, 5)
 
 
 DEFAULT_PARAMS = FlowParams()
@@ -167,16 +171,20 @@ def _warp(im: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray,
         return _warp_bilinear(im, u, v)
     from .pallas_flow import warp_select_shift_pallas
 
-    r = float(p.warp_radius)
-    in_range = (jnp.max(jnp.abs(u)) <= r) & (jnp.max(jnp.abs(v)) <= r)
-    return jax.lax.cond(
-        in_range,
-        lambda a, uu, vv: warp_select_shift_pallas(
-            a, uu, vv, p.warp_radius,
-            interpret=(p.warp == "shift_interpret")),
-        _warp_bilinear,
-        im, u, v,
-    )
+    tiers = tuple(sorted(t for t in p.warp_tiers if t < p.warp_radius))
+    tiers = tiers + (p.warp_radius,)
+    interpret = p.warp == "shift_interpret"
+
+    def make_kernel(radius):
+        return lambda a, uu, vv: warp_select_shift_pallas(
+            a, uu, vv, radius, interpret=interpret)
+
+    branches = [make_kernel(r) for r in tiers] + [_warp_bilinear]
+    m = jnp.maximum(jnp.max(jnp.abs(u)), jnp.max(jnp.abs(v)))
+    # Index of the first tier >= the batch max (== number of tiers exceeded);
+    # past the last tier the switch clamps onto the gather fallback.
+    idx = sum((m > float(r)).astype(jnp.int32) for r in tiers)
+    return jax.lax.switch(idx, branches, im, u, v)
 
 
 def _grad_xy(im: jnp.ndarray):
