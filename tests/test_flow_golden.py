@@ -133,3 +133,14 @@ def test_flow_golden_natural_small_pallas_interpret():
         jnp.asarray(make_natural_frames(h=96, w=128)),
         FlowParams(backend="pallas_interpret", **SMALL_PARAMS)))
     _check(got, want, frac=0.995, tol=2)
+
+
+@pytest.mark.slow
+def test_flow_golden_natural_small_fused_level_interpret():
+    """The fused-level Pallas kernel (whole level in one program) against the
+    same stored golden — the r4 fast path the TPU e2e chain runs."""
+    want = np.load(NATURAL_SMALL_GOLDEN)["flow_images"]
+    got = np.asarray(video_flow_uint8(
+        jnp.asarray(make_natural_frames(h=96, w=128)),
+        FlowParams(fuse_level="interpret", **SMALL_PARAMS)))
+    _check(got, want, frac=0.995, tol=2)

@@ -5,9 +5,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from video_classification_tpu.ops.flow import (
-    FlowParams, _warp, _warp_bilinear, coarse2fine_flow)
+    FlowParams, _flow_level, _warp, _warp_bilinear, coarse2fine_flow)
 from video_classification_tpu.ops.pallas_flow import (
-    fits_vmem, fits_vmem_warp, sor_solve_pallas, warp_select_shift_pallas)
+    fits_vmem, fits_vmem_level, fits_vmem_warp, sor_solve_pallas,
+    warp_select_shift_pallas)
 
 
 def test_fits_vmem():
@@ -154,3 +155,63 @@ def test_flow_solve_with_shift_warp_matches_gather_warp():
 def test_fits_vmem_warp():
     assert fits_vmem_warp(240, 320, 3)
     assert not fits_vmem_warp(1200, 1600, 3)
+
+
+def _smooth_pair(h=40, w=48, seed=0):
+    rng = np.random.RandomState(seed)
+    import cv2
+
+    base = cv2.GaussianBlur(rng.rand(h, w, 3).astype(np.float32), (0, 0), 2.0)
+    m = np.float32([[1, 0, 1.5], [0, 1, -1.0]])
+    shifted = cv2.warpAffine(base, m, (w, h), borderMode=cv2.BORDER_REFLECT)
+    return jnp.asarray(base[None]), jnp.asarray(shifted[None])
+
+
+def test_fused_level_matches_xla_level():
+    """One fully-fused pyramid level (warp+IRLS+SOR in one Pallas program,
+    interpret) == the per-op XLA path, on a non-tile-aligned shape so the
+    pad-to-(8,128) poison-control paths are exercised."""
+    im1, im2 = _smooth_pair()
+    u = jnp.zeros((1, 40, 48), jnp.float32)
+    v = jnp.zeros_like(u)
+    p_off = FlowParams(n_outer=3, n_sor=10, backend="xla", warp="gather",
+                       fuse_level="off")
+    p_fused = FlowParams(n_outer=3, n_sor=10, fuse_level="interpret")
+    u1, v1 = jax.jit(lambda *a: _flow_level(*a, p_off))(im1, im2, u, v)
+    u2, v2 = jax.jit(lambda *a: _flow_level(*a, p_fused))(im1, im2, u, v)
+    np.testing.assert_allclose(np.asarray(u1), np.asarray(u2), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), atol=1e-4)
+
+
+def test_fused_level_nonzero_init_flow():
+    """The dynamic warp radius + offset clamp is a no-op for |flow| within
+    warp_radius: start from a nonzero flow field (what upsampled coarse levels
+    hand in) and require agreement with the gather-warp XLA path."""
+    im1, im2 = _smooth_pair(seed=3)
+    rng = np.random.RandomState(4)
+    u = jnp.asarray((rng.rand(1, 40, 48).astype(np.float32) - 0.5) * 5.0)
+    v = jnp.asarray((rng.rand(1, 40, 48).astype(np.float32) - 0.5) * 5.0)
+    p_off = FlowParams(n_outer=2, n_sor=10, backend="xla", warp="gather",
+                       fuse_level="off")
+    p_fused = FlowParams(n_outer=2, n_sor=10, fuse_level="interpret")
+    u1, v1 = jax.jit(lambda *a: _flow_level(*a, p_off))(im1, im2, u, v)
+    u2, v2 = jax.jit(lambda *a: _flow_level(*a, p_fused))(im1, im2, u, v)
+    np.testing.assert_allclose(np.asarray(u1), np.asarray(u2), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), atol=1e-4)
+
+
+def test_flow_solve_fused_level_matches():
+    """Full coarse2fine with every level fused == the per-op solve."""
+    im1, im2 = _smooth_pair(seed=7)
+    p_off = FlowParams(n_outer=2, n_sor=10, backend="xla", warp="gather",
+                       fuse_level="off")
+    p_fused = FlowParams(n_outer=2, n_sor=10, fuse_level="interpret")
+    u1, v1 = coarse2fine_flow(im1, im2, p_off)
+    u2, v2 = coarse2fine_flow(im1, im2, p_fused)
+    np.testing.assert_allclose(np.asarray(u1), np.asarray(u2), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), atol=1e-4)
+
+
+def test_fits_vmem_level():
+    assert fits_vmem_level(240, 320, 3)
+    assert not fits_vmem_level(960, 1280, 3)

@@ -61,6 +61,16 @@ class FlowParams(NamedTuple):
     warp: str = "auto"
     warp_radius: int = 8
     warp_tiers: Tuple[int, ...] = (2, 5)
+    # Fused-level backend: 'auto' = run each ENTIRE pyramid level (n_outer x
+    # warp+gradients+IRLS+SOR) as one Pallas program on TPU when it fits VMEM
+    # and n_inner == 1 — the r4 profile showed ~70% of flow time was warp
+    # dispatch (coarse-level gathers, radius-cascade conds) and inter-kernel
+    # glue, not compute (benchmarks/profile_preprocess.py). 'off' = per-op
+    # path above; 'on' / 'interpret' force the kernel (the latter interpreted,
+    # for CPU testing). In-kernel warp offsets clamp at +-warp_radius px (see
+    # pallas_flow._flow_level_kernel for why that is outside any golden's or
+    # real consecutive-frame footage's range).
+    fuse_level: str = "auto"
 
 
 DEFAULT_PARAMS = FlowParams()
@@ -241,9 +251,26 @@ def _use_pallas_sor(p: FlowParams, h: int, w: int) -> bool:
     return jax.default_backend() == "tpu" and fits_vmem(h, w)
 
 
+def _use_fused_level(p: FlowParams, h: int, w: int, c: int) -> bool:
+    from .pallas_flow import fits_vmem_level
+
+    if p.n_inner != 1:
+        return False  # the fused kernel implements the n_inner == 1 case
+    if p.fuse_level in ("on", "interpret"):
+        return True
+    if p.fuse_level != "auto":
+        return False
+    return jax.default_backend() == "tpu" and fits_vmem_level(h, w, c)
+
+
 def _flow_level(im1, im2, u, v, p: FlowParams):
     """Refine flow at one pyramid level. im*: (B,H,W,C) float32; u,v: (B,H,W)."""
     b, h, w, _ = im1.shape
+    if _use_fused_level(p, h, w, im1.shape[-1]):
+        from .pallas_flow import flow_level_fused_pallas
+
+        return flow_level_fused_pallas(
+            im1, im2, u, v, p, interpret=(p.fuse_level == "interpret"))
     red = _checkerboard(h, w)
 
     for _outer in range(p.n_outer):

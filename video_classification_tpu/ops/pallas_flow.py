@@ -287,6 +287,224 @@ def warp_select_shift_pallas(im, u, v, radius: int, interpret: bool = False,
     return jnp.transpose(out[:, :, :h, :w], (0, 2, 3, 1))
 
 
+def _grad_xy_k(f, rows, cols, h, w):
+    """Edge-replicated central differences on the logical (h, w) region of a
+    padded (Hp, Wp) field — matches ops/flow._grad_xy (pad mode='edge')."""
+    xp1 = jnp.where(cols >= w - 1, f, _shift(f, 0, -1))
+    xm1 = jnp.where(cols == 0, f, _shift(f, 0, 1))
+    yp1 = jnp.where(rows >= h - 1, f, _shift(f, -1, 0))
+    ym1 = jnp.where(rows == 0, f, _shift(f, 1, 0))
+    return 0.5 * (xp1 - xm1), 0.5 * (yp1 - ym1)
+
+
+def _flow_level_kernel(n_outer, n_sor, alpha, omega, eps, h, w, r_cap,
+                       im1_ref, im2_ref, u_ref, v_ref, u_out, v_out):
+    """One FULL coarse-to-fine level — n_outer x (warp + gradients + IRLS
+    data/smoothness weights + red-black SOR) — in a single VMEM-resident
+    program per frame pair.
+
+    Why: the profiled 240x320 flow spent ~70% of its time in the per-outer
+    warp dispatch (gathers at coarse levels, radius-cascade lax.switch conds,
+    inter-kernel glue fusions) and only ~16% in the SOR solve itself
+    (benchmarks/profile_preprocess.py, r4). Fusing the level turns
+    9 levels x 7 outers x ~30 XLA ops per pair into 9 pallas_calls per pair.
+
+    Semantics match ops/flow._flow_level with n_inner == 1 exactly (same
+    masks, weights, over-relaxation, update order), with ONE documented
+    deviation: the in-kernel warp samples at per-pixel offsets clamped to
+    +-r_cap pixels (then image-border-clamped like the gather warp). For
+    |flow| <= r_cap — every golden and essentially all consecutive-frame
+    video at this resolution; the uint8 encoding saturates at +-5 px
+    (chalearn_video_to_flow.py:82-101) — the clamp is a no-op and the warp
+    is the bit-exact select-shift formulation of _warp_kernel_loop, with the
+    radius chosen dynamically per (pair, outer) from max|flow| so the
+    (2r+2)^2 shift loop only pays for the motion actually present.
+
+    ``h``/``w`` are logical dims; refs are tile-padded (rows 8, lanes 128).
+    Padded-region poison control: the SOR diagonal reciprocals are zeroed
+    outside the logical region, so du/dv stay exactly 0 there; logical-border
+    edge weights are zeroed exactly like ops/flow._edge_weights, so padded
+    values never couple back into real pixels.
+    """
+    c = im1_ref.shape[1]
+    u = u_ref[0]
+    v = v_ref[0]
+    hp, wp = u.shape
+
+    rows = jax.lax.broadcasted_iota(jnp.int32, (hp, wp), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (hp, wp), 1)
+    valid = (rows < h) & (cols < w)
+    red = ((rows + cols) % 2) == 0
+    zero = jnp.zeros((hp, wp), jnp.float32)
+    rows_f = rows.astype(jnp.float32)
+    cols_f = cols.astype(jnp.float32)
+
+    im1 = [im1_ref[0, ch] for ch in range(c)]
+    im2 = [im2_ref[0, ch] for ch in range(c)]
+    # im1 gradients are flow-independent: hoisted out of the outer loop
+    # (ops/flow._flow_level recomputes them per outer; values identical).
+    g1 = [_grad_xy_k(im1[ch], rows, cols, h, w) for ch in range(c)]
+
+    def warp_channel(ch, vint, uint, wy, wx, one_m_wy, one_m_wx, n, r_dyn):
+        def body(i, acc):
+            sy = i // n - r_dyn
+            sx = i % n - r_dyn
+            wy_sel = jnp.where(vint == sy, one_m_wy,
+                               jnp.where(vint == sy - 1, wy, zero))
+            wx_sel = jnp.where(uint == sx, one_m_wx,
+                               jnp.where(uint == sx - 1, wx, zero))
+            # Non-negative rotate amounts only (Mosaic corrupts negative
+            # dynamic rolls at larger shapes — see _warp_kernel_loop).
+            ry = (-sy) % hp
+            rx = (-sx) % wp
+            return acc + (pltpu.roll(pltpu.roll(im2[ch], ry, axis=0), rx,
+                                     axis=1) * wy_sel) * wx_sel
+
+        return jax.lax.fori_loop(0, n * n, body, zero)
+
+    def outer_body(_, uv):
+        u, v = uv
+        # Dynamic warp radius from the motion actually present (cap r_cap).
+        maxflow = jnp.maximum(jnp.max(jnp.abs(u)), jnp.max(jnp.abs(v)))
+        r_dyn = jnp.clip(jnp.ceil(maxflow).astype(jnp.int32), 1, r_cap)
+        r_f = r_dyn.astype(jnp.float32)
+        n = 2 * r_dyn + 2
+        ys = jnp.clip(rows_f + jnp.clip(v, -r_f, r_f), 0.0, h - 1.0)
+        xs = jnp.clip(cols_f + jnp.clip(u, -r_f, r_f), 0.0, w - 1.0)
+        y0 = jnp.minimum(jnp.floor(ys).astype(jnp.int32), h - 2)
+        x0 = jnp.minimum(jnp.floor(xs).astype(jnp.int32), w - 2)
+        wy = ys - y0.astype(jnp.float32)
+        wx = xs - x0.astype(jnp.float32)
+        one_m_wy = 1.0 - wy
+        one_m_wx = 1.0 - wx
+        vint = y0 - rows
+        uint = x0 - cols
+
+        # Per-channel accumulation bounds VMEM liveness to one channel's
+        # warped/gradient/residual temps at a time.
+        a11 = zero
+        a12 = zero
+        a22 = zero
+        b1 = zero
+        b2 = zero
+        for ch in range(c):
+            warped = warp_channel(ch, vint, uint, wy, wx, one_m_wy, one_m_wx,
+                                  n, r_dyn)
+            ix2, iy2 = _grad_xy_k(warped, rows, cols, h, w)
+            ix = 0.5 * (g1[ch][0] + ix2)
+            iy = 0.5 * (g1[ch][1] + iy2)
+            it = warped - im1[ch]
+            psi = 1.0 / jnp.sqrt(it * it + eps)  # rho == it at du=dv=0
+            a11 = a11 + psi * ix * ix
+            a12 = a12 + psi * ix * iy
+            a22 = a22 + psi * iy * iy
+            b1 = b1 - psi * ix * it
+            b2 = b2 - psi * iy * it
+
+        # Robust smoothness weight on the current total flow (du=dv=0).
+        ux, uy = _grad_xy_k(u, rows, cols, h, w)
+        vx, vy = _grad_xy_k(v, rows, cols, h, w)
+        mag = ux * ux + uy * uy + vx * vx + vy * vy
+        phi = 1.0 / jnp.sqrt(mag + eps)
+        # Half-point edge weights, zeroed across the LOGICAL border
+        # (ops/flow._edge_weights semantics).
+        phi_up = jnp.where(rows == 0, phi, _shift(phi, 1, 0))
+        phi_dn = jnp.where(rows >= h - 1, phi, _shift(phi, -1, 0))
+        phi_lf = jnp.where(cols == 0, phi, _shift(phi, 0, 1))
+        phi_rt = jnp.where(cols >= w - 1, phi, _shift(phi, 0, -1))
+        wu = jnp.where(rows == 0, 0.0, 0.5 * (phi + phi_up))
+        wd = jnp.where(rows >= h - 1, 0.0, 0.5 * (phi + phi_dn))
+        wl = jnp.where(cols == 0, 0.0, 0.5 * (phi + phi_lf))
+        wr = jnp.where(cols >= w - 1, 0.0, 0.5 * (phi + phi_rt))
+        wsum = wu + wd + wl + wr
+
+        # Zeroed outside the logical region: keeps padded du/dv exactly 0
+        # (a11 == wsum == 0 there would otherwise divide to inf -> NaN).
+        inv_diag_u = jnp.where(valid, 1.0 / (a11 + alpha * wsum), 0.0)
+        inv_diag_v = jnp.where(valid, 1.0 / (a22 + alpha * wsum), 0.0)
+
+        def neighbor(f):
+            return (wu * _shift(f, 1, 0) + wd * _shift(f, -1, 0)
+                    + wl * _shift(f, 0, 1) + wr * _shift(f, 0, -1))
+
+        nu_const = neighbor(u) - wsum * u
+        nv_const = neighbor(v) - wsum * v
+
+        def half(du, dv, mask):
+            su = nu_const + neighbor(du)
+            new_du = (b1 - a12 * dv + alpha * su) * inv_diag_u
+            du = jnp.where(mask, (1 - omega) * du + omega * new_du, du)
+            sv = nv_const + neighbor(dv)
+            new_dv = (b2 - a12 * du + alpha * sv) * inv_diag_v
+            dv = jnp.where(mask, (1 - omega) * dv + omega * new_dv, dv)
+            return du, dv
+
+        def sor_body(_, carry):
+            du, dv = carry
+            du, dv = half(du, dv, red)
+            du, dv = half(du, dv, ~red)
+            return du, dv
+
+        du, dv = jax.lax.fori_loop(0, n_sor, sor_body, (zero, zero))
+        return u + du, v + dv
+
+    u, v = jax.lax.fori_loop(0, n_outer, outer_body, (u, v))
+    u_out[0] = u
+    v_out[0] = v
+
+
+# VMEM for the fused level kernel: 2C image refs + 2 in + 2 out + ~22 live
+# (H, W) f32 temps at tile-padded sizes.
+def fits_vmem_level(h: int, w: int, c: int) -> bool:
+    hp = -(-h // 8) * 8
+    wp = -(-w // 128) * 128
+    return (2 * c + 26) * hp * wp * 4 <= _VMEM_BUDGET_BYTES
+
+
+@functools.partial(jax.jit, static_argnums=(4, 5))
+def flow_level_fused_pallas(im1, im2, u, v, params, interpret: bool = False):
+    """Run one full pyramid level fused: im* (B, H, W, C) f32, u/v (B, H, W)
+    -> refined (u, v). See _flow_level_kernel for semantics/deviations."""
+    b, h, w, c = im1.shape
+    hp = -(-h // 8) * 8
+    wp = -(-w // 128) * 128
+    im1t = jnp.transpose(im1, (0, 3, 1, 2))
+    im2t = jnp.transpose(im2, (0, 3, 1, 2))
+    if (hp, wp) != (h, w):
+        pad4 = ((0, 0), (0, 0), (0, hp - h), (0, wp - w))
+        pad3 = ((0, 0), (0, hp - h), (0, wp - w))
+        im1t = jnp.pad(im1t, pad4)
+        im2t = jnp.pad(im2t, pad4)
+        u = jnp.pad(u, pad3)
+        v = jnp.pad(v, pad3)
+    kernel = functools.partial(
+        _flow_level_kernel, params.n_outer, params.n_sor, params.alpha,
+        params.omega, params.eps, h, w, params.warp_radius)
+    grid_spec = pl.GridSpec(
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, c, hp, wp), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c, hp, wp), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hp, wp), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hp, wp), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[pl.BlockSpec((1, hp, wp), lambda i: (i, 0, 0),
+                                memory_space=pltpu.VMEM) for _ in range(2)],
+    )
+    out_shape = [jax.ShapeDtypeStruct((b, hp, wp), jnp.float32)] * 2
+    uo, vo = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(im1t, im2t, u, v)
+    return uo[:, :h, :w], vo[:, :h, :w]
+
+
 @functools.partial(jax.jit, static_argnums=(11, 12, 13, 14))
 def sor_solve_pallas(a11, a12, a22, b1, b2, wu, wd, wl, wr, u, v,
                      n_sor: int, alpha: float, omega: float,

@@ -175,6 +175,11 @@ class DensePoseOnlineDetector:
             assert self._allow_random_init  # constructor enforces the pkl
             x = jnp.asarray(padded_frames_bgr[0], jnp.float32)
             self.variables = self.model.init(jax.random.PRNGKey(0), x, train=False)
+        # Deliberately NOT to_host (contrast detect/provider.py): these
+        # detections feed straight into the device preprocessing graph, the
+        # clip is a bounded CLIP_LEN frames (not a whole video), and a host
+        # round-trip through the ~5 MB/s tunnel would dwarf the detector
+        # itself.
         boxes, valid, charts, uv = run_chunked(
             partial(self._batch, self.variables), padded_frames_bgr,
             self.batch_size)
