@@ -181,6 +181,82 @@ def test_trainer_multihost_feeding(tmp_path, devices, monkeypatch):
     assert 0.0 <= y["acc"] <= 1.0
 
 
+def test_sharded_eval_plan_partitions_exactly(tmp_path):
+    """Every global clip position is owned by exactly one process; labels are
+    video-major; all processes get the same step count."""
+    from video_classification_tpu.data import ChalearnVideoDataset
+    from video_classification_tpu.data.dataset import (
+        eval_batches_for_host, sharded_eval_plan)
+
+    cfg = _synthetic_cfg(tmp_path)
+    ds = ChalearnVideoDataset(cfg, "test")
+    plan = sharded_eval_plan(ds, 8, 2)
+    total = sum(plan.samples_per_video)
+    allpos = np.concatenate(plan.positions)
+    assert sorted(allpos.tolist()) == list(range(total))
+    assert plan.labels.shape == (total,)
+    # Each host emits exactly n_steps batches with the promised valid counts.
+    for q in range(2):
+        batches = list(eval_batches_for_host(ds, plan, q, seed=0))
+        assert len(batches) == plan.n_steps
+        n_valid = sum(int(b["valid"].sum()) for b in batches)
+        assert n_valid == len(plan.positions[q])
+        for b in batches:
+            assert b["x"].shape == (plan.local_batch,) + ds.sample_shape()
+
+
+def test_sharded_eval_matches_single_host(tmp_path, devices, monkeypatch):
+    """VERDICT r3 next #7: the sharded multi-host eval — each process decodes
+    only its ~N/P share of videos — produces the identical accuracy, scores,
+    and per-video packing as the single-host path (two fake hosts assembled
+    via the exact row->device layout contract)."""
+    from video_classification_tpu.data import ChalearnVideoDataset
+    from video_classification_tpu.data.dataset import (
+        eval_batches_for_host, sharded_eval_plan)
+    from video_classification_tpu.engine import Trainer
+    from video_classification_tpu.parallel import multihost
+
+    cfg = _synthetic_cfg(tmp_path)
+    ref = Trainer(cfg).run_eval()
+
+    monkeypatch.setattr(multihost, "process_count", lambda: 2)
+    monkeypatch.setattr(multihost, "process_index", lambda: 0)
+    trainer = Trainer(cfg)
+    ds = trainer.test_dataset
+
+    # Count which videos THIS process decodes.
+    decoded = []
+    orig = ds.get_eval_clips
+
+    def counting(i, rng):
+        decoded.append(i)
+        return orig(i, rng)
+
+    ds.get_eval_clips = counting
+
+    # Fake process 1: its local batches come from a separate dataset instance
+    # (so the decode counter above sees only process 0's reads).
+    ds1 = ChalearnVideoDataset(cfg, "test")
+    plan = sharded_eval_plan(ds1, 8, 2)
+    other_gen = eval_batches_for_host(ds1, plan, 1, seed=int(cfg.TPU.SEED))
+
+    def fake_global_from_local(mesh, local):
+        other = next(other_gen)
+        return assemble_fake_multihost(mesh, [local, {"x": other["x"]}])
+
+    monkeypatch.setattr(multihost, "global_batch_from_local",
+                        fake_global_from_local)
+
+    y = trainer.run_eval()
+    # Decode sharding: process 0 touched only videos 0, 2, 4, ... (N/P share).
+    assert sorted(set(decoded)) == list(range(0, len(ds), 2))
+    # Identical results to the single-host path.
+    assert y["acc"] == ref["acc"]
+    assert y["sv"] == ref["sv"]
+    np.testing.assert_array_equal(y["t"], ref["t"])
+    np.testing.assert_allclose(y["ps"], ref["ps"], atol=1e-6, rtol=1e-6)
+
+
 def test_trainer_multihost_batch_divisibility(tmp_path, devices, monkeypatch):
     from video_classification_tpu.engine import Trainer
     from video_classification_tpu.parallel import multihost
