@@ -345,22 +345,35 @@ def _flow_level_kernel(n_outer, n_sor, alpha, omega, eps, h, w, r_cap,
     # (ops/flow._flow_level recomputes them per outer; values identical).
     g1 = [_grad_xy_k(im1[ch], rows, cols, h, w) for ch in range(c)]
 
-    def warp_channel(ch, vint, uint, wy, wx, one_m_wy, one_m_wx, n, r_dyn):
-        def body(i, acc):
-            sy = i // n - r_dyn
-            sx = i % n - r_dyn
+    def warp_all(vint, uint, wy, wx, one_m_wy, one_m_wx, n, r_dyn):
+        """All c channels warped at once, (2r+2)-structured: the row roll,
+        row select, and the wy*wx mask product are hoisted per sy instead of
+        recomputed per (sy, sx, channel) — same sum, ~2.4x fewer VPU ops than
+        the per-channel flat loop (the r4 probe put the warp at >half the
+        fused kernel's time)."""
+
+        def sy_body(iy, accs):
+            sy = iy - r_dyn
             wy_sel = jnp.where(vint == sy, one_m_wy,
                                jnp.where(vint == sy - 1, wy, zero))
-            wx_sel = jnp.where(uint == sx, one_m_wx,
-                               jnp.where(uint == sx - 1, wx, zero))
             # Non-negative rotate amounts only (Mosaic corrupts negative
             # dynamic rolls at larger shapes — see _warp_kernel_loop).
             ry = (-sy) % hp
-            rx = (-sx) % wp
-            return acc + (pltpu.roll(pltpu.roll(im2[ch], ry, axis=0), rx,
-                                     axis=1) * wy_sel) * wx_sel
+            rolled = tuple(pltpu.roll(im2[ch], ry, axis=0) for ch in range(c))
 
-        return jax.lax.fori_loop(0, n * n, body, zero)
+            def sx_body(ix, accs):
+                sx = ix - r_dyn
+                wx_sel = jnp.where(uint == sx, one_m_wx,
+                                   jnp.where(uint == sx - 1, wx, zero))
+                wsel = wy_sel * wx_sel
+                rx = (-sx) % wp
+                return tuple(a + pltpu.roll(r, rx, axis=1) * wsel
+                             for a, r in zip(accs, rolled))
+
+            return jax.lax.fori_loop(0, n, sx_body, accs)
+
+        return jax.lax.fori_loop(0, n, sy_body,
+                                 tuple(zero for _ in range(c)))
 
     def outer_body(_, uv):
         u, v = uv
@@ -380,16 +393,15 @@ def _flow_level_kernel(n_outer, n_sor, alpha, omega, eps, h, w, r_cap,
         vint = y0 - rows
         uint = x0 - cols
 
-        # Per-channel accumulation bounds VMEM liveness to one channel's
-        # warped/gradient/residual temps at a time.
+        warped_all = warp_all(vint, uint, wy, wx, one_m_wy, one_m_wx,
+                              n, r_dyn)
         a11 = zero
         a12 = zero
         a22 = zero
         b1 = zero
         b2 = zero
         for ch in range(c):
-            warped = warp_channel(ch, vint, uint, wy, wx, one_m_wy, one_m_wx,
-                                  n, r_dyn)
+            warped = warped_all[ch]
             ix2, iy2 = _grad_xy_k(warped, rows, cols, h, w)
             ix = 0.5 * (g1[ch][0] + ix2)
             iy = 0.5 * (g1[ch][1] + iy2)
@@ -453,12 +465,14 @@ def _flow_level_kernel(n_outer, n_sor, alpha, omega, eps, h, w, r_cap,
     v_out[0] = v
 
 
-# VMEM for the fused level kernel: 2C image refs + 2 in + 2 out + ~22 live
-# (H, W) f32 temps at tile-padded sizes.
+# VMEM for the fused level kernel: 2C image refs + C rolled + C warped +
+# ~22 live (H, W) f32 temps at tile-padded sizes. Its own 14 MB cap (of the
+# ~16 MB/core): the hoisted warp holds all channels' rolled/warped fields
+# live at once — measured to fit at 240x320 c=3 on v5e.
 def fits_vmem_level(h: int, w: int, c: int) -> bool:
     hp = -(-h // 8) * 8
     wp = -(-w // 128) * 128
-    return (2 * c + 26) * hp * wp * 4 <= _VMEM_BUDGET_BYTES
+    return (4 * c + 26) * hp * wp * 4 <= 14 * 1024 * 1024
 
 
 @functools.partial(jax.jit, static_argnums=(4, 5))
