@@ -2,6 +2,7 @@
 
 import pickle
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -11,6 +12,7 @@ from video_classification_tpu.models import MISMATCH_LAYERS, SlowFast, flax_to_t
 from video_classification_tpu.utils import StepTimer
 
 
+@pytest.mark.slow
 def test_load_torch_warmstart(tmp_path):
     # Build a donor state_dict in torch naming from a randomly-initialized model,
     # wrap it like the Kinetics file ({'model_state': ...}), and load it into a

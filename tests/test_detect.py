@@ -224,6 +224,7 @@ def test_nms_pallas_matches_xla():
             np.asarray(want_idx)[np.asarray(want_mask)])
 
 
+@pytest.mark.slow
 def test_provider_batched_matches_single():
     """detect() in vmapped chunks == frame-by-frame inference (same weights,
     same frames), including the padded last chunk."""

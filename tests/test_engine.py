@@ -40,12 +40,14 @@ def trained(tmp_path_factory, devices):
     return cfg, trainer, metrics
 
 
+@pytest.mark.slow
 def test_train_step_runs_sharded(trained):
     _, trainer, metrics = trained
     assert np.isfinite(metrics["loss"])
     assert 0.0 <= metrics["acc"] <= 1.0
 
 
+@pytest.mark.slow
 def test_second_epoch_improves_loss(trained):
     _, trainer, first = trained
     second = None
@@ -56,6 +58,7 @@ def test_second_epoch_improves_loss(trained):
     assert second["loss"] < first["loss"]
 
 
+@pytest.mark.slow
 def test_run_eval_structure(trained):
     cfg, trainer, _ = trained
     y = trainer.run_eval()
@@ -68,6 +71,7 @@ def test_run_eval_structure(trained):
     assert len(y["sv"]) == 16
 
 
+@pytest.mark.slow
 def test_checkpoint_save_load(trained, tmp_path):
     cfg, trainer, _ = trained
     trainer._save(epoch=0, acc=0.5)
@@ -86,6 +90,7 @@ def test_checkpoint_save_load(trained, tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 def test_htah_fallback(tmp_path, devices):
     """Tier 2: a part stream with no own ckpt loads the slowfast-HTAH ckpt."""
     cfg_htah = _tiny_cfg(tmp_path, name="slowfast-HTAH")

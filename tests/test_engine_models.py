@@ -23,7 +23,10 @@ def _cfg(tmp_path, name, clip_len):
     return cfg
 
 
-@pytest.mark.parametrize("name,clip_len", [("res2d", 10), ("res3d", 4)])
+@pytest.mark.parametrize("name,clip_len", [
+    ("res2d", 10),
+    pytest.param("res3d", 4, marks=pytest.mark.slow),
+])
 def test_resnet_paths_train_and_eval(tmp_path, devices, name, clip_len):
     cfg = _cfg(tmp_path / name, name, clip_len)
     trainer = Trainer(cfg, mesh=make_mesh(cfg))

@@ -234,6 +234,7 @@ def test_slowfast_accepts_prepacked_s2d_input():
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_slowfast_packed_fast_pathway_matches_unpacked():
     """pack_fast=True (fast stages in the 2x2 s2d domain, layers.PackedConv3d +
     grouped-stat BN) == pack_fast=False: identical variable tree, same forward

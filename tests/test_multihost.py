@@ -7,6 +7,7 @@ assemble == single-host shard_batch), and that a jit step consumes the
 assembled array identically.
 """
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -133,6 +134,7 @@ def test_train_batches_for_host_assembles_to_single(tmp_path, devices):
         assert fake[k].sharding.is_equivalent_to(want[k].sharding, fake[k].ndim)
 
 
+@pytest.mark.slow
 def test_trainer_multihost_feeding(tmp_path, devices, monkeypatch):
     """Trainer wiring: with a faked 2-process topology, train_epoch feeds
     host-local blocks through global_batch_from_local and run_eval slices its
@@ -205,6 +207,7 @@ def test_sharded_eval_plan_partitions_exactly(tmp_path):
             assert b["x"].shape == (plan.local_batch,) + ds.sample_shape()
 
 
+@pytest.mark.slow
 def test_sharded_eval_matches_single_host(tmp_path, devices, monkeypatch):
     """VERDICT r3 next #7: the sharded multi-host eval — each process decodes
     only its ~N/P share of videos — produces the identical accuracy, scores,

@@ -1,5 +1,6 @@
 """Stream-parallel training on disjoint sub-meshes of the virtual device grid."""
 
+import pytest
 import jax
 import numpy as np
 
@@ -21,6 +22,7 @@ def test_assign_device_groups_disjoint(devices):
     assert [d.id for d in groups[4]] == [d.id for d in groups[0]]
 
 
+@pytest.mark.slow
 def test_train_streams_parallel(devices, tmp_path):
     def cfg_factory(name):
         cfg = get_cfg()
@@ -44,6 +46,7 @@ def test_train_streams_parallel(devices, tmp_path):
         assert 0.0 <= acc <= 1.0
 
 
+@pytest.mark.slow
 def test_stream_meshes_are_disjoint(devices, tmp_path):
     """Each stream's Trainer really runs on its own devices."""
     seen = {}

@@ -69,6 +69,7 @@ def video_root(tmp_path):
     return tmp_path, m, k
 
 
+@pytest.mark.slow
 def test_predictor_single_stream(video_root):
     tmp_path, m, k = video_root
     cfg = _cfg(tmp_path)
@@ -86,6 +87,7 @@ def test_predictor_single_stream(video_root):
     np.testing.assert_allclose(y["probs"], y2["probs"], atol=1e-6)
 
 
+@pytest.mark.slow
 def test_predictor_missing_depth(video_root):
     tmp_path, m, _ = video_root
     cfg = _cfg(tmp_path)

@@ -144,6 +144,7 @@ def test_v2_dataset(v2_cfg):
     assert len(ev["clips"]) == 2
 
 
+@pytest.mark.slow
 def test_v2_trainer_step(v2_cfg, devices):
     from video_classification_tpu.parallel import make_mesh
 
