@@ -1,0 +1,82 @@
+"""Probe: Mosaic dynamic-amount vs static-amount pltpu.roll cost on v5e.
+
+The fused flow kernel's warp loop issues O(n^2 * c) lane rolls per outer
+iteration; whether their amounts are traced (dynamic) or constant decides the
+lowering (a traced rotate goes through staged conditional shifts, a constant
+one is a single shuffle). This times three kernels, each doing N rolls of one
+(240, 384) f32 field in a fori_loop:
+  static  - amount is the Python constant 383 (roll by -1)
+  dynamic - amount is (i % 7 + 1) from the traced loop index
+  sdyn    - dynamic SUBLANE (axis=0) rolls for comparison
+
+Usage: python benchmarks/probe_roll.py   (real TPU, ~1 min)
+"""
+import functools
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_CACHE = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                      ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _CACHE)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
+H, W = 240, 384
+N = int(os.environ.get("N", "512"))
+
+
+def _kernel(mode, x_ref, o_ref):
+    x = x_ref[0]
+
+    def body(i, acc):
+        if mode == "static":
+            r = pltpu.roll(acc, W - 1, axis=1)
+        elif mode == "dynamic":
+            r = pltpu.roll(acc, i % 7 + 1, axis=1)
+        else:  # sdyn
+            r = pltpu.roll(acc, i % 7 + 1, axis=0)
+        return r + 1e-9  # defeat rotate-composition folding
+
+    o_ref[0] = jax.lax.fori_loop(0, N, body, x)
+
+
+def run(mode):
+    x = jnp.arange(H * W, dtype=jnp.float32).reshape(1, H, W) / (H * W)
+    fn = jax.jit(pl.pallas_call(
+        functools.partial(_kernel, mode),
+        grid_spec=pl.GridSpec(
+            grid=(1,),
+            in_specs=[pl.BlockSpec((1, H, W), lambda i: (i, 0, 0),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((1, H, W), lambda i: (i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+        ),
+        out_shape=jax.ShapeDtypeStruct((1, H, W), jnp.float32),
+    ))
+    t0 = time.perf_counter()
+    o = fn(x)
+    float(jnp.sum(o))
+    compile_s = time.perf_counter() - t0
+    reps = 20
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        o = fn(o)
+    float(jnp.sum(o))
+    us_per_roll = (time.perf_counter() - t0) / reps / N * 1e6
+    return compile_s, us_per_roll
+
+
+if __name__ == "__main__":
+    out = {}
+    for mode in ("static", "dynamic", "sdyn"):
+        c, u = run(mode)
+        out[mode] = {"compile_s": round(c, 1), "us_per_roll": round(u, 3)}
+        print(mode, out[mode], flush=True)
+    print(json.dumps(out))

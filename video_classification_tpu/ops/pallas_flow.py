@@ -217,26 +217,42 @@ def _warp_kernel_loop(radius, h, w, im_ref, u_ref, v_ref, out_ref):
     im = [im_ref[0, ch] for ch in range(c)]
     zero = jnp.zeros((hp, wp), jnp.float32)
 
-    def body(i, acc):
-        sy = i // n - radius
-        sx = i % n - radius
+    # Nested (sy, sx) loops with INCREMENTAL lane rolls: consecutive sx steps
+    # need rotate amounts differing by exactly -1, so the inner loop carries
+    # the rolled fields and advances them with a STATIC roll by wp - 1 (a
+    # single shuffle; a traced-amount rotate costs log2(lanes) conditional
+    # shift stages). Rotations compose exactly, and the (sy, sx) visit order
+    # and the (im * wy_sel) * wx_sel association are identical to the flat
+    # loop, so the output stays bit-identical to _warp_kernel and the gather.
+    def sy_body(iy, accs):
+        sy = iy - radius
         wy_sel = jnp.where(vint == sy, one_m_wy,
                            jnp.where(vint == sy - 1, wy, zero))
-        wx_sel = jnp.where(uint == sx, one_m_wx,
-                           jnp.where(uint == sx - 1, wx, zero))
         # Non-negative rotate amounts only: Mosaic's dynamic rotate silently
         # corrupts NEGATIVE amounts at larger shapes on real hardware
         # (verified: roll(240x384, -3) wrong on both axes, roll(.., +5) ok,
-        # small shapes fine either way — 2026-08-18 v5e probe).
+        # small shapes fine either way — 2026-08-18 v5e probe). Row roll and
+        # initial lane roll fused in one expression so only the carried
+        # lane-rolled tuple is live across the inner loop (VMEM stack).
         ry = (-sy) % hp
-        rx = (-sx) % wp
-        return tuple(
-            acc[ch]
-            + (pltpu.roll(pltpu.roll(im[ch], ry, axis=0), rx, axis=1)
-               * wy_sel) * wx_sel
+        lane0 = tuple(
+            pltpu.roll(pltpu.roll(im[ch], ry, axis=0), radius % wp, axis=1)
             for ch in range(c))
 
-    acc = jax.lax.fori_loop(0, n * n, body, tuple(zero for _ in range(c)))
+        def sx_body(ix, carry):
+            accs, rolled_x = carry
+            sx = ix - radius
+            wx_sel = jnp.where(uint == sx, one_m_wx,
+                               jnp.where(uint == sx - 1, wx, zero))
+            accs = tuple(a + (r * wy_sel) * wx_sel
+                         for a, r in zip(accs, rolled_x))
+            rolled_x = tuple(pltpu.roll(r, wp - 1, axis=1) for r in rolled_x)
+            return accs, rolled_x
+
+        accs, _ = jax.lax.fori_loop(0, n, sx_body, (accs, lane0))
+        return accs
+
+    acc = jax.lax.fori_loop(0, n, sy_body, tuple(zero for _ in range(c)))
     for ch in range(c):
         out_ref[0, ch] = acc[ch]
 
@@ -336,21 +352,33 @@ def _flow_level_kernel(n_outer, n_sor, alpha, omega, eps, h, w, r_cap,
     valid = (rows < h) & (cols < w)
     red = ((rows + cols) % 2) == 0
     zero = jnp.zeros((hp, wp), jnp.float32)
-    rows_f = rows.astype(jnp.float32)
-    cols_f = cols.astype(jnp.float32)
 
     im1 = [im1_ref[0, ch] for ch in range(c)]
     im2 = [im2_ref[0, ch] for ch in range(c)]
-    # im1 gradients are flow-independent: hoisted out of the outer loop
-    # (ops/flow._flow_level recomputes them per outer; values identical).
-    g1 = [_grad_xy_k(im1[ch], rows, cols, h, w) for ch in range(c)]
+    # im1 gradients are recomputed per outer iteration inside the IRLS block
+    # (as ops/flow._flow_level does). Hoisting them here kept 2c extra fields
+    # live across the warp loop — the kernel's VMEM-stack high-water mark —
+    # and pushed 240x320 c=3 past the 16 MB scoped limit once the warp's
+    # incremental lane rolls added a carried tuple; the recompute is ~12 VPU
+    # ops per channel per outer vs the warp's ~200.
 
     def warp_all(vint, uint, wy, wx, one_m_wy, one_m_wx, n, r_dyn):
         """All c channels warped at once, (2r+2)-structured: the row roll,
         row select, and the wy*wx mask product are hoisted per sy instead of
         recomputed per (sy, sx, channel) — same sum, ~2.4x fewer VPU ops than
         the per-channel flat loop (the r4 probe put the warp at >half the
-        fused kernel's time)."""
+        fused kernel's time).
+
+        Lane rolls are INCREMENTAL: consecutive sx steps need rotate amounts
+        rx = (-sx) % wp that differ by exactly -1, so the inner loop carries
+        the rolled fields and advances them with a STATIC roll by wp - 1
+        (rotations compose exactly: roll(roll(x, a), b) == roll(x, a+b mod wp),
+        so values are bit-identical to rolling from scratch). Mosaic lowers a
+        traced-amount rotate via log2(lanes) conditional shift stages; the
+        static-amount rotate is a single shuffle — this replaces n^2*c dynamic
+        lane rolls with n*c dynamic + n^2*c static ones. The inner carry holds
+        the same c rolled fields the previous formulation kept live, so VMEM
+        demand is unchanged (fits_vmem_level)."""
 
         def sy_body(iy, accs):
             sy = iy - r_dyn
@@ -358,19 +386,29 @@ def _flow_level_kernel(n_outer, n_sor, alpha, omega, eps, h, w, r_cap,
                                jnp.where(vint == sy - 1, wy, zero))
             # Non-negative rotate amounts only (Mosaic corrupts negative
             # dynamic rolls at larger shapes — see _warp_kernel_loop).
+            # Row roll and the sx = -r_dyn initial lane roll (rx0 = r_dyn) in
+            # one expression: a separate row-rolled tuple would be live
+            # alongside the carried lane-rolled one and pushed the kernel's
+            # scoped-VMEM stack past the 16 MB limit at 240x320 c=3.
             ry = (-sy) % hp
-            rolled = tuple(pltpu.roll(im2[ch], ry, axis=0) for ch in range(c))
+            lane0 = tuple(
+                pltpu.roll(pltpu.roll(im2[ch], ry, axis=0), r_dyn % wp, axis=1)
+                for ch in range(c))
 
-            def sx_body(ix, accs):
+            def sx_body(ix, carry):
+                accs, rolled_x = carry
                 sx = ix - r_dyn
                 wx_sel = jnp.where(uint == sx, one_m_wx,
                                    jnp.where(uint == sx - 1, wx, zero))
                 wsel = wy_sel * wx_sel
-                rx = (-sx) % wp
-                return tuple(a + pltpu.roll(r, rx, axis=1) * wsel
-                             for a, r in zip(accs, rolled))
+                accs = tuple(a + r * wsel for a, r in zip(accs, rolled_x))
+                # Advance to the next sx: rx decreases by 1 (static amount).
+                rolled_x = tuple(pltpu.roll(r, wp - 1, axis=1)
+                                 for r in rolled_x)
+                return accs, rolled_x
 
-            return jax.lax.fori_loop(0, n, sx_body, accs)
+            accs, _ = jax.lax.fori_loop(0, n, sx_body, (accs, lane0))
+            return accs
 
         return jax.lax.fori_loop(0, n, sy_body,
                                  tuple(zero for _ in range(c)))
@@ -382,8 +420,10 @@ def _flow_level_kernel(n_outer, n_sor, alpha, omega, eps, h, w, r_cap,
         r_dyn = jnp.clip(jnp.ceil(maxflow).astype(jnp.int32), 1, r_cap)
         r_f = r_dyn.astype(jnp.float32)
         n = 2 * r_dyn + 2
-        ys = jnp.clip(rows_f + jnp.clip(v, -r_f, r_f), 0.0, h - 1.0)
-        xs = jnp.clip(cols_f + jnp.clip(u, -r_f, r_f), 0.0, w - 1.0)
+        ys = jnp.clip(rows.astype(jnp.float32) + jnp.clip(v, -r_f, r_f),
+                      0.0, h - 1.0)
+        xs = jnp.clip(cols.astype(jnp.float32) + jnp.clip(u, -r_f, r_f),
+                      0.0, w - 1.0)
         y0 = jnp.minimum(jnp.floor(ys).astype(jnp.int32), h - 2)
         x0 = jnp.minimum(jnp.floor(xs).astype(jnp.int32), w - 2)
         wy = ys - y0.astype(jnp.float32)
@@ -403,8 +443,9 @@ def _flow_level_kernel(n_outer, n_sor, alpha, omega, eps, h, w, r_cap,
         for ch in range(c):
             warped = warped_all[ch]
             ix2, iy2 = _grad_xy_k(warped, rows, cols, h, w)
-            ix = 0.5 * (g1[ch][0] + ix2)
-            iy = 0.5 * (g1[ch][1] + iy2)
+            ix1, iy1 = _grad_xy_k(im1[ch], rows, cols, h, w)
+            ix = 0.5 * (ix1 + ix2)
+            iy = 0.5 * (iy1 + iy2)
             it = warped - im1[ch]
             psi = 1.0 / jnp.sqrt(it * it + eps)  # rho == it at du=dv=0
             a11 = a11 + psi * ix * ix
