@@ -40,11 +40,37 @@ def _kernel(mode, x_ref, o_ref):
             r = pltpu.roll(acc, W - 1, axis=1)
         elif mode == "dynamic":
             r = pltpu.roll(acc, i % 7 + 1, axis=1)
-        else:  # sdyn
+        elif mode == "sdyn":
             r = pltpu.roll(acc, i % 7 + 1, axis=0)
+        elif mode == "cc_lane":
+            # Static rotate as concat of two static slices (the _shift
+            # formulation pallas_flow._sor_kernel uses, closed into a rotate).
+            r = jnp.concatenate([acc[:, W - 1:], acc[:, :W - 1]], axis=1)
+        elif mode == "cc_row":
+            r = jnp.concatenate([acc[H - 1:, :], acc[:H - 1, :]], axis=0)
+        else:  # noop: loop-overhead floor
+            r = acc
         return r + 1e-9  # defeat rotate-composition folding
 
-    o_ref[0] = jax.lax.fori_loop(0, N, body, x)
+    if mode == "tracedtrip":
+        # Same noop body but the trip count is a TRACED scalar (read from the
+        # input): measures the pipelining penalty of dynamic loop bounds —
+        # the fused flow kernel's warp loops have r_dyn-dependent trips.
+        n_t = (x_ref[0, 0, 0] * 0).astype(jnp.int32) + N
+
+        def body_t(i, acc):
+            return acc + 1e-9
+
+        o_ref[0] = jax.lax.fori_loop(0, n_t, body_t, x)
+    elif mode == "tracedroll":
+        n_t = (x_ref[0, 0, 0] * 0).astype(jnp.int32) + N
+
+        def body_tr(i, acc):
+            return pltpu.roll(acc, i % 7 + 1, axis=1) + 1e-9
+
+        o_ref[0] = jax.lax.fori_loop(0, n_t, body_tr, x)
+    else:
+        o_ref[0] = jax.lax.fori_loop(0, N, body, x)
 
 
 def run(mode):
@@ -75,7 +101,10 @@ def run(mode):
 
 if __name__ == "__main__":
     out = {}
-    for mode in ("static", "dynamic", "sdyn"):
+    import sys
+    modes = sys.argv[1:] or ("static", "dynamic", "sdyn", "cc_lane",
+                             "cc_row", "noop")
+    for mode in modes:
         c, u = run(mode)
         out[mode] = {"compile_s": round(c, 1), "us_per_roll": round(u, 3)}
         print(mode, out[mode], flush=True)

@@ -314,7 +314,8 @@ def _grad_xy_k(f, rows, cols, h, w):
 
 
 def _flow_level_kernel(n_outer, n_sor, alpha, omega, eps, h, w, r_cap,
-                       im1_ref, im2_ref, u_ref, v_ref, u_out, v_out):
+                       im1_ref, im2_ref, u_ref, v_ref, u_out, v_out,
+                       ablate_warp=False):
     """One FULL coarse-to-fine level — n_outer x (warp + gradients + IRLS
     data/smoothness weights + red-black SOR) — in a single VMEM-resident
     program per frame pair.
@@ -433,8 +434,11 @@ def _flow_level_kernel(n_outer, n_sor, alpha, omega, eps, h, w, r_cap,
         vint = y0 - rows
         uint = x0 - cols
 
-        warped_all = warp_all(vint, uint, wy, wx, one_m_wy, one_m_wx,
-                              n, r_dyn)
+        if ablate_warp:  # timing ablation only (benchmarks/probe_outer_split)
+            warped_all = [im2[ch] for ch in range(c)]
+        else:
+            warped_all = warp_all(vint, uint, wy, wx, one_m_wy, one_m_wx,
+                                  n, r_dyn)
         a11 = zero
         a12 = zero
         a22 = zero
@@ -516,10 +520,12 @@ def fits_vmem_level(h: int, w: int, c: int) -> bool:
     return (4 * c + 26) * hp * wp * 4 <= 14 * 1024 * 1024
 
 
-@functools.partial(jax.jit, static_argnums=(4, 5))
-def flow_level_fused_pallas(im1, im2, u, v, params, interpret: bool = False):
+@functools.partial(jax.jit, static_argnums=(4, 5, 6))
+def flow_level_fused_pallas(im1, im2, u, v, params, interpret: bool = False,
+                            ablate_warp: bool = False):
     """Run one full pyramid level fused: im* (B, H, W, C) f32, u/v (B, H, W)
-    -> refined (u, v). See _flow_level_kernel for semantics/deviations."""
+    -> refined (u, v). See _flow_level_kernel for semantics/deviations.
+    ``ablate_warp`` (timing probes only) replaces the warp with identity."""
     b, h, w, c = im1.shape
     hp = -(-h // 8) * 8
     wp = -(-w // 128) * 128
@@ -534,7 +540,8 @@ def flow_level_fused_pallas(im1, im2, u, v, params, interpret: bool = False):
         v = jnp.pad(v, pad3)
     kernel = functools.partial(
         _flow_level_kernel, params.n_outer, params.n_sor, params.alpha,
-        params.omega, params.eps, h, w, params.warp_radius)
+        params.omega, params.eps, h, w, params.warp_radius,
+        ablate_warp=ablate_warp)
     grid_spec = pl.GridSpec(
         grid=(b,),
         in_specs=[
