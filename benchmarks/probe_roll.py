@@ -1,15 +1,25 @@
-"""Probe: Mosaic dynamic-amount vs static-amount pltpu.roll cost on v5e.
+"""Probe: Mosaic fori_loop iteration cost vs pltpu.roll cost on v5e.
 
 The fused flow kernel's warp loop issues O(n^2 * c) lane rolls per outer
-iteration; whether their amounts are traced (dynamic) or constant decides the
-lowering (a traced rotate goes through staged conditional shifts, a constant
-one is a single shuffle). This times three kernels, each doing N rolls of one
-(240, 384) f32 field in a fori_loop:
-  static  - amount is the Python constant 383 (roll by -1)
-  dynamic - amount is (i % 7 + 1) from the traced loop index
-  sdyn    - dynamic SUBLANE (axis=0) rolls for comparison
+iteration. Default modes (one (240, 384) f32 field, N loop iterations):
+  static     - roll amount is the Python constant 383 (roll by -1)
+  dynamic    - roll amount is (i % 7 + 1) from the traced loop index
+  sdyn       - dynamic SUBLANE (axis=0) rolls for comparison
+  cc_lane    - static rotate written as concat of two static slices
+  cc_row     - same on the row axis
+  noop       - body is acc + 1e-9 only: the per-iteration floor
+  unroll4/8  - noop body repeated 4x/8x per iteration (N/4, N/8 trips):
+               does amortizing the loop overhead recover VPU rates?
+Extra argv modes: tracedtrip (noop with a TRACED trip count), tracedroll
+(dynamic roll + traced trip count).
 
-Usage: python benchmarks/probe_roll.py   (real TPU, ~1 min)
+FINDINGS (2026-08-20, v5e): us_per_roll static 4.31 | dynamic 4.63 | sdyn
+4.54 | cc_lane 4.44 | cc_row 4.46 | noop 4.35 -> the fori_loop ITERATION,
+not the roll, is the cost: ~4.3 us per iteration regardless of body
+(carried-field VMEM round-trip + no cross-iteration pipelining). Fatter
+bodies amortize it — see unroll4/unroll8.
+
+Usage: python benchmarks/probe_roll.py [modes...]   (real TPU, ~1 min)
 """
 import functools
 import json
@@ -48,8 +58,14 @@ def _kernel(mode, x_ref, o_ref):
             r = jnp.concatenate([acc[:, W - 1:], acc[:, :W - 1]], axis=1)
         elif mode == "cc_row":
             r = jnp.concatenate([acc[H - 1:, :], acc[:H - 1, :]], axis=0)
-        else:  # noop: loop-overhead floor
+        elif mode == "noop":  # loop-overhead floor
             r = acc
+        elif mode in ("unroll4", "unroll8"):
+            r = acc
+            for _ in range(int(mode[-1]) - 1):
+                r = r + 1e-9
+        else:
+            raise SystemExit(f"unknown mode {mode!r}")
         return r + 1e-9  # defeat rotate-composition folding
 
     if mode == "tracedtrip":
@@ -70,7 +86,8 @@ def _kernel(mode, x_ref, o_ref):
 
         o_ref[0] = jax.lax.fori_loop(0, n_t, body_tr, x)
     else:
-        o_ref[0] = jax.lax.fori_loop(0, N, body, x)
+        trips = N // int(mode[-1]) if mode.startswith("unroll") else N
+        o_ref[0] = jax.lax.fori_loop(0, trips, body, x)
 
 
 def run(mode):

@@ -370,31 +370,35 @@ def _flow_level_kernel(n_outer, n_sor, alpha, omega, eps, h, w, r_cap,
         the per-channel flat loop (the r4 probe put the warp at >half the
         fused kernel's time).
 
-        Lane rolls are INCREMENTAL: consecutive sx steps need rotate amounts
-        rx = (-sx) % wp that differ by exactly -1, so the inner loop carries
-        the rolled fields and advances them with a STATIC roll by wp - 1
-        (rotations compose exactly: roll(roll(x, a), b) == roll(x, a+b mod wp),
-        so values are bit-identical to rolling from scratch). Mosaic lowers a
-        traced-amount rotate via log2(lanes) conditional shift stages; the
-        static-amount rotate is a single shuffle — this replaces n^2*c dynamic
-        lane rolls with n*c dynamic + n^2*c static ones. The inner carry holds
-        the same c rolled fields the previous formulation kept live, so VMEM
-        demand is unchanged (fits_vmem_level)."""
+        BOTH roll axes are INCREMENTAL: consecutive sx steps need lane-rotate
+        amounts rx = (-sx) % wp differing by exactly -1, and consecutive sy
+        steps need row-rotate amounts ry = (-sy) % hp differing by exactly -1,
+        so the loops carry pre-rolled fields and advance them with STATIC
+        rolls by wp - 1 / hp - 1 (rotations compose exactly:
+        roll(roll(x, a), b) == roll(x, a+b mod dim), and rolls on different
+        axes commute, so values are bit-identical to rolling from scratch).
+        Mosaic lowers a traced-amount rotate via log2(lanes) conditional
+        shift stages; a static-amount rotate is a single shuffle — this
+        leaves exactly 2c traced-amount rolls per WARP (the init below)
+        where the r4 formulation paid 2nc per warp (a dynamic row+lane roll
+        pair per (sy, channel)). The sy carry holds c row-state fields that
+        the previous formulation rebuilt per sy; the inner carry is the same
+        c lane-rolled fields as before (fits_vmem_level budgets the extra c
+        fields)."""
 
-        def sy_body(iy, accs):
+        # Non-negative rotate amounts only (Mosaic corrupts negative dynamic
+        # rolls at larger shapes — see _warp_kernel_loop). The ONLY dynamic
+        # rolls in the warp: im2 pre-rolled to the (sy, sx) = (-r, -r) start.
+        row0 = tuple(
+            pltpu.roll(pltpu.roll(im2[ch], r_dyn % hp, axis=0),
+                       r_dyn % wp, axis=1)
+            for ch in range(c))
+
+        def sy_body(iy, carry):
+            accs, row_state = carry
             sy = iy - r_dyn
             wy_sel = jnp.where(vint == sy, one_m_wy,
                                jnp.where(vint == sy - 1, wy, zero))
-            # Non-negative rotate amounts only (Mosaic corrupts negative
-            # dynamic rolls at larger shapes — see _warp_kernel_loop).
-            # Row roll and the sx = -r_dyn initial lane roll (rx0 = r_dyn) in
-            # one expression: a separate row-rolled tuple would be live
-            # alongside the carried lane-rolled one and pushed the kernel's
-            # scoped-VMEM stack past the 16 MB limit at 240x320 c=3.
-            ry = (-sy) % hp
-            lane0 = tuple(
-                pltpu.roll(pltpu.roll(im2[ch], ry, axis=0), r_dyn % wp, axis=1)
-                for ch in range(c))
 
             def sx_body(ix, carry):
                 accs, rolled_x = carry
@@ -408,11 +412,16 @@ def _flow_level_kernel(n_outer, n_sor, alpha, omega, eps, h, w, r_cap,
                                  for r in rolled_x)
                 return accs, rolled_x
 
-            accs, _ = jax.lax.fori_loop(0, n, sx_body, (accs, lane0))
-            return accs
+            accs, _ = jax.lax.fori_loop(0, n, sx_body, (accs, row_state))
+            # Advance to the next sy: ry decreases by 1 (static amount); the
+            # lane offset (r_dyn) is untouched — axis rolls commute.
+            row_state = tuple(pltpu.roll(r, hp - 1, axis=0)
+                              for r in row_state)
+            return accs, row_state
 
-        return jax.lax.fori_loop(0, n, sy_body,
-                                 tuple(zero for _ in range(c)))
+        accs, _ = jax.lax.fori_loop(
+            0, n, sy_body, (tuple(zero for _ in range(c)), row0))
+        return accs
 
     def outer_body(_, uv):
         u, v = uv
@@ -510,14 +519,14 @@ def _flow_level_kernel(n_outer, n_sor, alpha, omega, eps, h, w, r_cap,
     v_out[0] = v
 
 
-# VMEM for the fused level kernel: 2C image refs + C rolled + C warped +
-# ~22 live (H, W) f32 temps at tile-padded sizes. Its own 14 MB cap (of the
-# ~16 MB/core): the hoisted warp holds all channels' rolled/warped fields
-# live at once — measured to fit at 240x320 c=3 on v5e.
+# VMEM for the fused level kernel: 2C image refs + C row-state + C rolled +
+# C warped + ~22 live (H, W) f32 temps at tile-padded sizes. Its own 14 MB cap
+# (of the ~16 MB/core): the hoisted warp holds all channels' row-state/rolled/
+# warped fields live at once — measured to fit at 240x320 c=3 on v5e.
 def fits_vmem_level(h: int, w: int, c: int) -> bool:
     hp = -(-h // 8) * 8
     wp = -(-w // 128) * 128
-    return (4 * c + 26) * hp * wp * 4 <= 14 * 1024 * 1024
+    return (5 * c + 26) * hp * wp * 4 <= 14 * 1024 * 1024
 
 
 @functools.partial(jax.jit, static_argnums=(4, 5, 6))
