@@ -6,6 +6,11 @@ ablating the warp (warped := im2, everything else identical). full - nowarp
 is the warp's share; nowarp bounds IRLS + smoothness + SOR setup + the
 maxflow reduction.
 
+Caveat: u = v = 0 init means the dynamic warp radius ramps up from 1 across
+outer iterations; production finest levels inherit upsampled coarse flow
+(r_dyn ~ ceil(max|flow|)), so the measured warp share UNDERSTATES the real
+per-level warp cost for large-motion pairs (advisor r4).
+
 Usage: python benchmarks/probe_outer_split.py   (real TPU, ~3 min cold)
 """
 import json

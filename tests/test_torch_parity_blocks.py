@@ -286,3 +286,283 @@ def test_densepose_backbone_matches_torch():
         g = np.asarray(g).transpose(0, 3, 1, 2)
         np.testing.assert_allclose(
             g, w, atol=5e-3, rtol=5e-3, err_msg=f"P{lvl + 2}")
+
+
+# ---------------------------------------------------------------------------
+# Whole-head replicas (VERDICT r4 task 3): with the full-backbone test above,
+# these cover every learned weight the converter touches — RPN head, box
+# head + predictor, Panoptic-FPN decoder, DeepLab chart head (ASPP + 8 GN
+# convs), and the 4-deconv chart predictor. A layout bug inside ASPP's
+# dilated/pooled branches or the 112-px upsample chain fails here, not in
+# production (/root/reference/chalearn_padded_to_iuv.py:25-26's model).
+# ---------------------------------------------------------------------------
+
+from video_classification_tpu.detect.densepose import (  # noqa: E402
+    NUM_CHARTS, BoxHead, ChartPredictor, Decoder, DensePoseDeepLabHead,
+    RPNHead)
+
+
+def _t(sd, key):
+    return torch.from_numpy(np.asarray(sd[key]))
+
+
+def test_rpn_head_matches_torch():
+    """Shared 3x3 conv + objectness/deltas 1x1s over 5 FPN levels."""
+    sd = synthesize_state_dict(depth=50, seed=11)
+
+    class TorchRPN(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.conv = nn.Conv2d(256, 256, 3, padding=1)
+            self.objectness = nn.Conv2d(256, 3, 1)
+            self.deltas = nn.Conv2d(256, 12, 1)
+
+        def forward(self, feats):
+            out = []
+            for f in feats:
+                t = torch.relu(self.conv(f))
+                out.append((self.objectness(t), self.deltas(t)))
+            return out
+
+    tm = TorchRPN().eval()
+    rh = "proposal_generator.rpn_head"
+    with torch.no_grad():
+        tm.conv.weight.copy_(_t(sd, f"{rh}.conv.weight"))
+        tm.conv.bias.copy_(_t(sd, f"{rh}.conv.bias"))
+        tm.objectness.weight.copy_(_t(sd, f"{rh}.objectness_logits.weight"))
+        tm.objectness.bias.copy_(_t(sd, f"{rh}.objectness_logits.bias"))
+        tm.deltas.weight.copy_(_t(sd, f"{rh}.anchor_deltas.weight"))
+        tm.deltas.bias.copy_(_t(sd, f"{rh}.anchor_deltas.bias"))
+
+    torch.manual_seed(1)
+    feats = [torch.randn(1, 256, s, s) for s in (32, 16, 8, 4, 2)]
+    with torch.no_grad():
+        want = tm(feats)
+
+    variables = d2_to_flax(sd)
+    feats_jax = [jnp.asarray(f.numpy().transpose(0, 2, 3, 1)) for f in feats]
+    got = RPNHead().apply({"params": variables["params"]["rpn"]}, feats_jax)
+    for lvl, ((go, gd), (wo, wd)) in enumerate(zip(got, want)):
+        np.testing.assert_allclose(np.asarray(go).transpose(0, 3, 1, 2),
+                                   wo.numpy(), atol=2e-4, rtol=2e-4,
+                                   err_msg=f"objectness P{lvl + 2}")
+        np.testing.assert_allclose(np.asarray(gd).transpose(0, 3, 1, 2),
+                                   wd.numpy(), atol=2e-4, rtol=2e-4,
+                                   err_msg=f"deltas P{lvl + 2}")
+
+
+def test_box_head_matches_torch():
+    """2-FC box head + cls/box predictors, including the fc1 re-layout from
+    torch's flatten(N, C*7*7) (CHW) to flax's NHWC flatten."""
+    sd = synthesize_state_dict(depth=50, seed=12)
+
+    class TorchBoxHead(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.fc1 = nn.Linear(256 * 49, 1024)
+            self.fc2 = nn.Linear(1024, 1024)
+            self.cls = nn.Linear(1024, 2)
+            self.box = nn.Linear(1024, 4)
+
+        def forward(self, x):  # (N, 256, 7, 7)
+            x = torch.relu(self.fc1(x.flatten(1)))
+            x = torch.relu(self.fc2(x))
+            return self.cls(x), self.box(x)
+
+    tm = TorchBoxHead().eval()
+    with torch.no_grad():
+        tm.fc1.weight.copy_(_t(sd, "roi_heads.box_head.fc1.weight"))
+        tm.fc1.bias.copy_(_t(sd, "roi_heads.box_head.fc1.bias"))
+        tm.fc2.weight.copy_(_t(sd, "roi_heads.box_head.fc2.weight"))
+        tm.fc2.bias.copy_(_t(sd, "roi_heads.box_head.fc2.bias"))
+        tm.cls.weight.copy_(_t(sd, "roi_heads.box_predictor.cls_score.weight"))
+        tm.cls.bias.copy_(_t(sd, "roi_heads.box_predictor.cls_score.bias"))
+        tm.box.weight.copy_(_t(sd, "roi_heads.box_predictor.bbox_pred.weight"))
+        tm.box.bias.copy_(_t(sd, "roi_heads.box_predictor.bbox_pred.bias"))
+
+    torch.manual_seed(2)
+    rois = torch.randn(5, 256, 7, 7)
+    with torch.no_grad():
+        want_s, want_d = tm(rois)
+
+    variables = d2_to_flax(sd)
+    got_s, got_d = BoxHead().apply(
+        {"params": variables["params"]["box_head"]},
+        jnp.asarray(rois.numpy().transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(np.asarray(got_s), want_s.numpy(),
+                               atol=5e-4, rtol=5e-4)
+    np.testing.assert_allclose(np.asarray(got_d), want_d.numpy(),
+                               atol=5e-4, rtol=5e-4)
+
+
+def test_decoder_matches_torch():
+    """Panoptic-FPN decoder: per-level conv/relu/upsample chains summed at
+    stride 4, then the 1x1 predictor (roi_head Decoder, 256 classes)."""
+    sd = synthesize_state_dict(depth=50, seed=13)
+
+    class TorchDecoder(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.stages = nn.ModuleList()
+            for lvl in range(4):
+                ops = []
+                for _ in range(max(1, lvl)):
+                    ops += [nn.Conv2d(256, 256, 3, padding=1), nn.ReLU()]
+                    if lvl > 0:
+                        ops += [nn.Upsample(scale_factor=2, mode="bilinear",
+                                            align_corners=False)]
+                self.stages.append(nn.Sequential(*ops))
+            self.predictor = nn.Conv2d(256, 256, 1)
+
+        def forward(self, feats):
+            total = sum(stage(f) for stage, f in zip(self.stages, feats))
+            return self.predictor(total)
+
+    tm = TorchDecoder().eval()
+    with torch.no_grad():
+        for lvl in range(4):
+            convs = [m for m in tm.stages[lvl] if isinstance(m, nn.Conv2d)]
+            for k, conv in enumerate(convs):
+                d2k = f"roi_heads.decoder.p{lvl + 2}.{2 * k if lvl + 2 > 2 else k}"
+                conv.weight.copy_(_t(sd, f"{d2k}.weight"))
+                conv.bias.copy_(_t(sd, f"{d2k}.bias"))
+        tm.predictor.weight.copy_(_t(sd, "roi_heads.decoder.predictor.weight"))
+        tm.predictor.bias.copy_(_t(sd, "roi_heads.decoder.predictor.bias"))
+
+    torch.manual_seed(3)
+    feats = [torch.randn(1, 256, s, s) for s in (32, 16, 8, 4)]
+    with torch.no_grad():
+        want = tm(feats).numpy()
+
+    variables = d2_to_flax(sd)
+    feats_jax = [jnp.asarray(f.numpy().transpose(0, 2, 3, 1)) for f in feats]
+    got = Decoder().apply({"params": variables["params"]["decoder"]}, feats_jax)
+    np.testing.assert_allclose(np.asarray(got).transpose(0, 3, 1, 2), want,
+                               atol=1e-3, rtol=1e-3)
+
+
+class _TorchASPP(nn.Module):
+    """DensePose deeplab.py ASPP: 1x1 + three dilated 3x3 + image pooling,
+    each bias-free conv + GroupNorm(32) + ReLU, concat, 1x1 project + ReLU."""
+
+    def __init__(self, rates=(6, 12, 56)):
+        super().__init__()
+        self.branch0 = nn.Sequential(nn.Conv2d(256, 256, 1, bias=False),
+                                     nn.GroupNorm(32, 256), nn.ReLU())
+        self.dilated = nn.ModuleList(
+            nn.Sequential(nn.Conv2d(256, 256, 3, padding=r, dilation=r,
+                                    bias=False),
+                          nn.GroupNorm(32, 256), nn.ReLU()) for r in rates)
+        self.pool_conv = nn.Sequential(nn.Conv2d(256, 256, 1, bias=False),
+                                       nn.GroupNorm(32, 256), nn.ReLU())
+        self.project = nn.Conv2d(5 * 256, 256, 1, bias=False)
+
+    def forward(self, x):
+        n, c, h, w = x.shape
+        branches = [self.branch0(x)] + [m(x) for m in self.dilated]
+        pooled = self.pool_conv(x.mean((2, 3), keepdim=True))
+        branches.append(pooled.expand(n, 256, h, w))
+        return torch.relu(self.project(torch.cat(branches, 1)))
+
+
+def test_deeplab_chart_head_matches_torch():
+    """FULL DeepLab chart head: ASPP (6/12/56 dilations + pooled branch) + 8
+    stacked bias-free GN convs at 512 — where IUV accuracy lives."""
+    sd = synthesize_state_dict(depth=50, seed=14)
+
+    class TorchDeepLab(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.aspp = _TorchASPP()
+            self.body = nn.ModuleList()
+            for i in range(8):
+                cin = 256 if i == 0 else 512
+                self.body.append(nn.Sequential(
+                    nn.Conv2d(cin, 512, 3, padding=1, bias=False),
+                    nn.GroupNorm(32, 512), nn.ReLU()))
+
+        def forward(self, x):
+            x = self.aspp(x)
+            for m in self.body:
+                x = m(x)
+            return x
+
+    tm = TorchDeepLab().eval()
+    dh = "roi_heads.densepose_head"
+    with torch.no_grad():
+        tm.aspp.branch0[0].weight.copy_(_t(sd, f"{dh}.ASPP.convs.0.0.weight"))
+        tm.aspp.branch0[1].weight.copy_(_t(sd, f"{dh}.ASPP.convs.0.1.weight"))
+        tm.aspp.branch0[1].bias.copy_(_t(sd, f"{dh}.ASPP.convs.0.1.bias"))
+        for b in range(1, 4):
+            tm.aspp.dilated[b - 1][0].weight.copy_(
+                _t(sd, f"{dh}.ASPP.convs.{b}.0.weight"))
+            tm.aspp.dilated[b - 1][1].weight.copy_(
+                _t(sd, f"{dh}.ASPP.convs.{b}.1.weight"))
+            tm.aspp.dilated[b - 1][1].bias.copy_(
+                _t(sd, f"{dh}.ASPP.convs.{b}.1.bias"))
+        tm.aspp.pool_conv[0].weight.copy_(_t(sd, f"{dh}.ASPP.convs.4.1.weight"))
+        tm.aspp.pool_conv[1].weight.copy_(_t(sd, f"{dh}.ASPP.convs.4.2.weight"))
+        tm.aspp.pool_conv[1].bias.copy_(_t(sd, f"{dh}.ASPP.convs.4.2.bias"))
+        tm.aspp.project.weight.copy_(_t(sd, f"{dh}.ASPP.project.0.weight"))
+        for i in range(8):
+            tm.body[i][0].weight.copy_(
+                _t(sd, f"{dh}.body_conv_fcn{i + 1}.weight"))
+            tm.body[i][1].weight.copy_(
+                _t(sd, f"{dh}.body_conv_fcn{i + 1}.norm.weight"))
+            tm.body[i][1].bias.copy_(
+                _t(sd, f"{dh}.body_conv_fcn{i + 1}.norm.bias"))
+
+    torch.manual_seed(4)
+    rois = torch.randn(2, 256, 28, 28)
+    with torch.no_grad():
+        want = tm(rois).numpy()
+
+    variables = d2_to_flax(sd)
+    got = DensePoseDeepLabHead().apply(
+        {"params": variables["params"]["densepose_head"]},
+        jnp.asarray(rois.numpy().transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(np.asarray(got).transpose(0, 3, 1, 2), want,
+                               atol=2e-3, rtol=2e-3)
+
+
+def test_chart_predictor_matches_torch():
+    """4 ConvTranspose2d(4,2,1) heads + 2x bilinear to the 112-px heatmap."""
+    sd = synthesize_state_dict(depth=50, seed=15)
+
+    class TorchPredictor(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.heads = nn.ModuleDict({
+                name: nn.ConvTranspose2d(512, ch, 4, stride=2, padding=1)
+                for name, ch in (("ann_index_lowres", 2),
+                                 ("index_uv_lowres", NUM_CHARTS + 1),
+                                 ("u_lowres", NUM_CHARTS + 1),
+                                 ("v_lowres", NUM_CHARTS + 1))})
+
+        def forward(self, x):
+            return tuple(
+                F.interpolate(self.heads[n](x), scale_factor=2,
+                              mode="bilinear", align_corners=False)
+                for n in ("ann_index_lowres", "index_uv_lowres",
+                          "u_lowres", "v_lowres"))
+
+    tm = TorchPredictor().eval()
+    dp = "roi_heads.densepose_predictor"
+    with torch.no_grad():
+        for name in tm.heads:
+            tm.heads[name].weight.copy_(_t(sd, f"{dp}.{name}.weight"))
+            tm.heads[name].bias.copy_(_t(sd, f"{dp}.{name}.bias"))
+
+    torch.manual_seed(5)
+    x = torch.randn(2, 512, 28, 28)
+    with torch.no_grad():
+        want = tm(x)
+
+    variables = d2_to_flax(sd)
+    got = ChartPredictor().apply(
+        {"params": variables["params"]["densepose_predictor"]},
+        jnp.asarray(x.numpy().transpose(0, 2, 3, 1)))
+    for name, g, w in zip(("coarse", "fine", "u", "v"), got, want):
+        np.testing.assert_allclose(np.asarray(g).transpose(0, 3, 1, 2),
+                                   w.numpy(), atol=1e-3, rtol=1e-3,
+                                   err_msg=name)
