@@ -37,11 +37,11 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 def time_level(im1, im2, u, v, params, reps=5):
     from video_classification_tpu.ops.pallas_flow import flow_level_fused_pallas
 
-    uo, vo = flow_level_fused_pallas(im1, im2, u, v, params)
+    uo, vo, _ = flow_level_fused_pallas(im1, im2, u, v, params)
     float(jnp.sum(uo) + jnp.sum(vo))
     t0 = time.perf_counter()
     for _ in range(reps):
-        uo, vo = flow_level_fused_pallas(im1, im2, u, v, params)
+        uo, vo, _ = flow_level_fused_pallas(im1, im2, u, v, params)
     float(jnp.sum(uo) + jnp.sum(vo))
     return (time.perf_counter() - t0) / reps / im1.shape[0] * 1e3
 

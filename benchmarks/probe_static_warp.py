@@ -1,0 +1,73 @@
+"""Probe: static-radius fused kernel + outer early-exit vs the dynamic kernel.
+
+Times the FULL coarse2fine solve (all pyramid levels, production params) on
+natural-statistics 240x320 frames — the same generator as the checked-in
+golden (tests/test_flow_golden.py:make_natural_frames, shift 2.3/-1.4 px) —
+across fused-kernel configs, and checks each config's uint8 encoding against
+the stored golden (the consumer contract: +-1 uint8 at >= 99.5% of pixels).
+
+Usage: python benchmarks/probe_static_warp.py [shift_px]   (real TPU)
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_CACHE = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                      ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _CACHE)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
+
+def main():
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
+    from test_flow_golden import make_natural_frames, NATURAL_GOLDEN
+    from video_classification_tpu.ops.flow import FlowParams, video_flow_uint8
+
+    scale = float(sys.argv[1]) if len(sys.argv) > 1 else 1.0
+    shift = (2.3 * scale, -1.4 * scale)
+    frames = jnp.asarray(make_natural_frames(shift=shift))
+    want = np.load(NATURAL_GOLDEN)["flow_images"] if scale == 1.0 else None
+
+    configs = {
+        "dyn": FlowParams(fuse_warp_radius=0),
+        "static2": FlowParams(fuse_warp_radius=2),
+        "static3": FlowParams(fuse_warp_radius=3),
+        "dyn_tol005": FlowParams(fuse_warp_radius=0, fuse_outer_tol=0.005),
+        "static2_tol005": FlowParams(fuse_warp_radius=2, fuse_outer_tol=0.005),
+        "static2_tol02": FlowParams(fuse_warp_radius=2, fuse_outer_tol=0.02),
+        "static3_tol005": FlowParams(fuse_warp_radius=3, fuse_outer_tol=0.005),
+    }
+    out = {}
+    t_pairs = frames.shape[0]
+    for tag, p in configs.items():
+        try:
+            got = np.asarray(video_flow_uint8(frames, p))
+        except Exception as e:  # compile failure: record, keep probing
+            out[tag] = {"error": str(e)[:120]}
+            print(tag, out[tag], flush=True)
+            continue
+        t0 = time.perf_counter()
+        reps = 5
+        for _ in range(reps):
+            r = video_flow_uint8(frames, p)
+        np.asarray(r)
+        ms = (time.perf_counter() - t0) / reps / t_pairs * 1e3
+        rec = {"ms_per_pair": round(ms, 3)}
+        if want is not None:
+            diff = np.abs(got.astype(np.int32) - want.astype(np.int32))
+            rec["within1"] = round(float((diff <= 1).mean()), 5)
+            rec["within2"] = round(float((diff <= 2).mean()), 5)
+            rec["maxdiff"] = int(diff.max())
+        out[tag] = rec
+        print(tag, rec, flush=True)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

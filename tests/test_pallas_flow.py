@@ -215,3 +215,40 @@ def test_flow_solve_fused_level_matches():
 def test_fits_vmem_level():
     assert fits_vmem_level(240, 320, 3)
     assert not fits_vmem_level(960, 1280, 3)
+
+
+def test_fused_level_pair_stacking_bit_identical():
+    """Pair-stacked fused kernel (S pairs solved in one program) ==
+    unstacked, bit for bit, at outer_tol 0 — including mixed per-pair motion
+    (the shared r_dyn/early-exit scalars coarsen to the group max, which must
+    only add exact zero terms / fixed-point re-runs)."""
+    from video_classification_tpu.ops.pallas_flow import (
+        _pick_stack, flow_level_fused_pallas)
+
+    rng = np.random.RandomState(11)
+    import cv2
+
+    b, h, w = 4, 24, 40
+    im1s, im2s = [], []
+    for k in range(b):  # different magnitude per pair: group-max paths hit
+        base = cv2.GaussianBlur(rng.rand(h, w, 3).astype(np.float32),
+                                (0, 0), 2.0)
+        m = np.float32([[1, 0, 0.4 * (k + 1)], [0, 1, -0.3 * k]])
+        im1s.append(base)
+        im2s.append(cv2.warpAffine(base, m, (w, h),
+                                   borderMode=cv2.BORDER_REFLECT))
+    im1 = jnp.asarray(np.stack(im1s))
+    im2 = jnp.asarray(np.stack(im2s))
+    u = jnp.asarray(rng.randn(b, h, w).astype(np.float32) * 0.3)
+    v = jnp.asarray(rng.randn(b, h, w).astype(np.float32) * 0.3)
+
+    base_p = FlowParams(n_outer=3, n_sor=8, fuse_outer_tol=0.0)
+    assert _pick_stack(b, 24, 128, 3, 0) > 1  # auto really stacks here
+    u1, v1, mx1 = flow_level_fused_pallas(
+        im1, im2, u, v, base_p._replace(fuse_stack=1), True)
+    u2, v2, mx2 = flow_level_fused_pallas(
+        im1, im2, u, v, base_p._replace(fuse_stack=0), True)
+    assert (np.asarray(u1) == np.asarray(u2)).all()
+    assert (np.asarray(v1) == np.asarray(v2)).all()
+    # Group mx is the max over each group's pairs: >= the per-pair value.
+    assert (np.asarray(mx2) >= np.asarray(mx1) - 1e-6).all()

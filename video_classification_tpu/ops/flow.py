@@ -71,6 +71,36 @@ class FlowParams(NamedTuple):
     # pallas_flow._flow_level_kernel for why that is outside any golden's or
     # real consecutive-frame footage's range).
     fuse_level: str = "auto"
+    # Static warp radius for the fused-level kernel (0 = per-outer dynamic
+    # radius). A compile-time radius lets the kernel fully unroll the
+    # (2r+2)^2 shift loop — no traced-trip fori_loops (~4.3 us/trip Mosaic
+    # floor, benchmarks/probe_roll.py), every roll a single static shuffle.
+    # Pairs whose motion ever exceeds the radius (mx_out) are rerun through
+    # the dynamic kernel, so results are exact for ALL inputs; within the
+    # radius the static kernel is bit-identical to the dynamic one. OFF by
+    # default: measured on both the natural-statistics golden (2.3 px) and
+    # the bench blob fixture (2.9 px), mid-solve overshoot past the radius
+    # triggers enough dynamic reruns that the static tier loses end-to-end
+    # (15.5 vs 11.0 ms/pair golden; 7.3 vs 7.0 bench) — see
+    # benchmarks/probe_static_warp.py. Kept as an opt-in for small-motion
+    # deployments (every shift static, ~40% fewer warp ops per outer).
+    fuse_warp_radius: int = 0
+    # Outer-loop convergence early exit for the fused kernel (0 = always run
+    # n_outer iterations). Stops a level's outer loop once an iteration's
+    # max |du, dv| <= this (px). Consumers see the /255-quantized uint8
+    # encoding (step ~0.039 px), so iterating far below the step is wasted;
+    # 0.005 measured output-IDENTICAL (bit-level uint8) to the full 7 outers
+    # on the natural-statistics golden while cutting ~25% of solve time
+    # (benchmarks/probe_static_warp.py); golden-gated at
+    # tests/test_flow_golden.py.
+    fuse_outer_tol: float = 0.005
+    # Pair stacking for the fused kernel: small pyramid levels stack S frame
+    # pairs on the sublane axis and solve them in ONE program, amortizing the
+    # ~4.3 us/trip Mosaic loop floor that otherwise makes a 24x32 level cost
+    # nearly as much per pair as 240x320 (pallas_flow._flow_level_kernel,
+    # PAIR STACKING). 0 = auto (largest batch divisor that fits VMEM),
+    # 1 = off, n = cap at n.
+    fuse_stack: int = 0
 
 
 DEFAULT_PARAMS = FlowParams()
@@ -269,8 +299,45 @@ def _flow_level(im1, im2, u, v, p: FlowParams):
     if _use_fused_level(p, h, w, im1.shape[-1]):
         from .pallas_flow import flow_level_fused_pallas
 
-        return flow_level_fused_pallas(
-            im1, im2, u, v, p, interpret=(p.fuse_level == "interpret"))
+        interpret = p.fuse_level == "interpret"
+        r_s = p.fuse_warp_radius
+        p_dyn = p._replace(fuse_warp_radius=0)
+        if r_s <= 0 or r_s >= p.warp_radius:
+            uo, vo, _ = flow_level_fused_pallas(im1, im2, u, v, p,
+                                                interpret=interpret)
+            return uo, vo
+
+        def dynamic(uv0):
+            u0, v0 = uv0
+            u_d, v_d, _ = flow_level_fused_pallas(im1, im2, u0, v0, p_dyn,
+                                                  interpret=interpret)
+            return u_d, v_d
+
+        def static(uv0):
+            # Static-radius fast kernel; exact iff each pair's motion stayed
+            # within r_s at every outer (pallas_flow._flow_level_kernel).
+            # The rare pair whose flow GREW past r_s mid-level reruns through
+            # the dynamic kernel (cond skips that program when none did).
+            u0, v0 = uv0
+            u_s, v_s, mx = flow_level_fused_pallas(im1, im2, u0, v0, p,
+                                                   interpret=interpret)
+            exceeded = mx > float(r_s)
+
+            def rerun(uv1):
+                u_d, v_d = dynamic(uv1)
+                keep = exceeded[:, None, None]
+                return jnp.where(keep, u_d, u_s), jnp.where(keep, v_d, v_s)
+
+            return jax.lax.cond(jnp.any(exceeded), rerun,
+                                lambda _uv: (u_s, v_s), uv0)
+
+        # Pre-dispatch on the INCOMING flow (the coarse-level estimate): a
+        # level whose motion already exceeds r_s goes straight to the dynamic
+        # kernel instead of paying the static attempt and then rerunning —
+        # at the finest levels of large-motion pairs that attempt is pure
+        # waste. Within-level growth past r_s is still caught by mx above.
+        incoming = jnp.maximum(jnp.max(jnp.abs(u)), jnp.max(jnp.abs(v)))
+        return jax.lax.cond(incoming <= float(r_s), static, dynamic, (u, v))
     red = _checkerboard(h, w)
 
     for _outer in range(p.n_outer):

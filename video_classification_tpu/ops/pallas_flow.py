@@ -314,7 +314,8 @@ def _grad_xy_k(f, rows, cols, h, w):
 
 
 def _flow_level_kernel(n_outer, n_sor, alpha, omega, eps, h, w, r_cap,
-                       im1_ref, im2_ref, u_ref, v_ref, u_out, v_out,
+                       static_radius, outer_tol, hp_pair,
+                       im1_ref, im2_ref, u_ref, v_ref, u_out, v_out, mx_out,
                        ablate_warp=False):
     """One FULL coarse-to-fine level — n_outer x (warp + gradients + IRLS
     data/smoothness weights + red-black SOR) — in a single VMEM-resident
@@ -342,6 +343,46 @@ def _flow_level_kernel(n_outer, n_sor, alpha, omega, eps, h, w, r_cap,
     outside the logical region, so du/dv stay exactly 0 there; logical-border
     edge weights are zeroed exactly like ops/flow._edge_weights, so padded
     values never couple back into real pixels.
+
+    ``static_radius > 0`` compiles the warp at that FIXED radius with the
+    (2r+2)^2 shift loop fully unrolled: every roll amount becomes a Python
+    constant (single-shuffle rotates instead of log2(lanes) conditional-shift
+    stages) and — the real win — the traced-trip-count fori_loops disappear.
+    benchmarks/probe_roll.py measured the Mosaic fori_loop iteration floor at
+    ~4.3 us/trip regardless of body (carried-field VMEM round-trip, no
+    cross-iteration pipelining); the dynamic warp pays it (2r+2)^2 + (2r+2)
+    times per outer, which is why the per-outer fixed block is 87% of the
+    level's time (benchmarks/probe_level_split.py). Output is bit-identical
+    to the dynamic kernel whenever max |flow| <= static_radius at every outer
+    (extra shift positions contribute exact +0.0 terms in the same
+    accumulation order; the coordinate clamp at the smaller radius is a no-op
+    below it). ``mx_out`` records the per-pair max over executed outers of
+    the PRE-clamp max |flow| — the caller reruns pairs with
+    mx > static_radius through the dynamic kernel, so results stay exact for
+    ALL inputs (ops/flow._flow_level).
+
+    ``outer_tol > 0`` turns the fixed n_outer loop into a while_loop that
+    stops once an outer iteration's max |du, dv| falls to <= outer_tol: the
+    consumers only ever see the +-5-px-clipped, /255-quantized uint8 encoding
+    (chalearn_video_to_flow.py:82-101, one step = 10/255 ~ 0.039 px), so
+    iterating far below that step buys nothing. Golden-gated in
+    tests/test_flow_golden.py.
+
+    PAIR STACKING (``hp_pair < hp``): the refs hold S = hp // hp_pair frame
+    pairs stacked along the sublane axis, and one program solves all of them
+    at once. The Mosaic fori_loop floor (~4.3 us/trip regardless of body —
+    benchmarks/probe_roll.py) makes small pyramid levels cost nearly as much
+    per pair as the finest level; stacking amortizes every loop trip across
+    S pairs. All coordinate/border math is LOCAL (row index mod hp_pair), so
+    each pair keeps its own borders, masks, and warp clip windows; the warp's
+    global row rolls can move one pair's rows into another's window only
+    where the local selectors are zero (a nonzero selector implies the
+    clamped in-pair corner — same argument as roll wraparound). The shared
+    scalars coarsen per-GROUP: r_dyn / mx / the outer early-exit delta are
+    maxes over the S pairs, which only ever ENLARGES a pair's radius (adds
+    exact +0.0 shift terms) or runs EXTRA outers (bit-identical at
+    outer_tol=0 — a zero-increment outer is a fixed point; within-tol drift
+    otherwise, golden-gated like the tol itself).
     """
     c = im1_ref.shape[1]
     u = u_ref[0]
@@ -350,18 +391,18 @@ def _flow_level_kernel(n_outer, n_sor, alpha, omega, eps, h, w, r_cap,
 
     rows = jax.lax.broadcasted_iota(jnp.int32, (hp, wp), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (hp, wp), 1)
+    if hp_pair < hp:  # pair-stacked layout: all masks/coords are pair-local
+        rows = rows % hp_pair
     valid = (rows < h) & (cols < w)
     red = ((rows + cols) % 2) == 0
     zero = jnp.zeros((hp, wp), jnp.float32)
 
     im1 = [im1_ref[0, ch] for ch in range(c)]
     im2 = [im2_ref[0, ch] for ch in range(c)]
-    # im1 gradients are recomputed per outer iteration inside the IRLS block
-    # (as ops/flow._flow_level does). Hoisting them here kept 2c extra fields
-    # live across the warp loop — the kernel's VMEM-stack high-water mark —
-    # and pushed 240x320 c=3 past the 16 MB scoped limit once the warp's
-    # incremental lane rolls added a carried tuple; the recompute is ~12 VPU
-    # ops per channel per outer vs the warp's ~200.
+    # im1 gradients are never materialized separately: the IRLS block uses
+    # grad(0.5*(im1+warped)) (linearity of the stencil) so nothing im1-derived
+    # has to stay live across the warp loop — hoisted ix1/iy1 fields pushed
+    # 240x320 c=3 past the 16 MB scoped-VMEM limit in the r4 formulation.
 
     def warp_all(vint, uint, wy, wx, one_m_wy, one_m_wx, n, r_dyn):
         """All c channels warped at once, (2r+2)-structured: the row roll,
@@ -423,13 +464,67 @@ def _flow_level_kernel(n_outer, n_sor, alpha, omega, eps, h, w, r_cap,
             0, n, sy_body, (tuple(zero for _ in range(c)), row0))
         return accs
 
-    def outer_body(_, uv):
-        u, v = uv
-        # Dynamic warp radius from the motion actually present (cap r_cap).
+    def warp_all_static(vint, uint, wy, wx):
+        """Select-shift warp at a compile-time radius. vs the dynamic-radius
+        warp_all: (a) the inner sx loop is unrolled (static trip count), so
+        every lane rotate is a Python-constant amount (one shuffle, not
+        log2(lanes) conditional stages) taken DIRECTLY from the carried
+        row_state — no carried lane-rolled tuple; (b) the sy-independent
+        lane selectors wx_sel are hoisted out of the sy loop entirely and
+        computed once (the dynamic kernel recomputes them (2r+2)^2 times);
+        (c) a fully-unrolled variant is NOT used — Mosaic allocates straight-
+        line temporaries without liveness reuse and the stack doubles past
+        the 16 MB scoped limit (measured 30.5 MB at 240x320 c=3). Visit
+        order ascending (sy, sx) and the acc + rolled * (wy_sel * wx_sel)
+        association match warp_all, so values are bit-identical to it for
+        motion within the radius (larger dynamic radii only add exact +0.0
+        terms)."""
+        r = static_radius
+        n = 2 * r + 2
+        row0 = tuple(pltpu.roll(im2[ch], r % hp, axis=0) for ch in range(c))
+
+        def sy_body(iy, carry):
+            accs, row_state = carry
+            sy = iy - r
+            wy_sel = jnp.where(vint == sy, 1.0 - wy,
+                               jnp.where(vint == sy - 1, wy, zero))
+            for ix in range(n):
+                # Selectors recomputed per step (as the dynamic kernel does):
+                # hoisting the n wx_sel fields out of the sy loop was ~150
+                # fewer VPU ops but pushed the scoped-VMEM stack 30-100 KB
+                # past the 16 MB limit at 240x320 c=3.
+                wx_sel = jnp.where(uint == ix - r, 1.0 - wx,
+                                   jnp.where(uint == ix - r - 1, wx, zero))
+                wsel = wy_sel * wx_sel
+                rx = (r - ix) % wp  # (-sx) % wp, sx = ix - r: static amount
+                accs = tuple(a + pltpu.roll(rs, rx, axis=1) * wsel
+                             for a, rs in zip(accs, row_state))
+            # Advance to the next sy: ry decreases by 1 (static amount).
+            row_state = tuple(pltpu.roll(rs, hp - 1, axis=0)
+                              for rs in row_state)
+            return accs, row_state
+
+        accs, _ = jax.lax.fori_loop(
+            0, n, sy_body, (tuple(zero for _ in range(c)), row0))
+        return list(accs)
+
+    def outer_body(uv):
+        u, v, mx = uv
+        # Pre-clamp motion bound: powers the dynamic radius (dynamic mode)
+        # and the caller's exceeded-the-static-radius rerun flag (mx_out).
+        # Carried as a (1, 1) vector: a plain SCALAR in the outer loop's
+        # vector carry doubled the Mosaic VMEM stack (30 MB vs 15 — whole
+        # loop state double-buffered), and an SMEM read-modify-write in the
+        # loop body serialized the kernel ~200x (537 ms/pair).
         maxflow = jnp.maximum(jnp.max(jnp.abs(u)), jnp.max(jnp.abs(v)))
-        r_dyn = jnp.clip(jnp.ceil(maxflow).astype(jnp.int32), 1, r_cap)
-        r_f = r_dyn.astype(jnp.float32)
-        n = 2 * r_dyn + 2
+        mx = jnp.maximum(mx, maxflow.reshape(1, 1))
+        if static_radius > 0:
+            r_f = float(static_radius)
+        else:
+            # Dynamic warp radius from the motion actually present (cap r_cap).
+            r_dyn = jnp.clip(jnp.ceil(maxflow).astype(jnp.int32), 1, r_cap)
+            r_f = r_dyn.astype(jnp.float32)
+            n = 2 * r_dyn + 2
         ys = jnp.clip(rows.astype(jnp.float32) + jnp.clip(v, -r_f, r_f),
                       0.0, h - 1.0)
         xs = jnp.clip(cols.astype(jnp.float32) + jnp.clip(u, -r_f, r_f),
@@ -438,15 +533,15 @@ def _flow_level_kernel(n_outer, n_sor, alpha, omega, eps, h, w, r_cap,
         x0 = jnp.minimum(jnp.floor(xs).astype(jnp.int32), w - 2)
         wy = ys - y0.astype(jnp.float32)
         wx = xs - x0.astype(jnp.float32)
-        one_m_wy = 1.0 - wy
-        one_m_wx = 1.0 - wx
         vint = y0 - rows
         uint = x0 - cols
 
         if ablate_warp:  # timing ablation only (benchmarks/probe_outer_split)
             warped_all = [im2[ch] for ch in range(c)]
+        elif static_radius > 0:
+            warped_all = warp_all_static(vint, uint, wy, wx)
         else:
-            warped_all = warp_all(vint, uint, wy, wx, one_m_wy, one_m_wx,
+            warped_all = warp_all(vint, uint, wy, wx, 1.0 - wy, 1.0 - wx,
                                   n, r_dyn)
         a11 = zero
         a12 = zero
@@ -455,10 +550,13 @@ def _flow_level_kernel(n_outer, n_sor, alpha, omega, eps, h, w, r_cap,
         b2 = zero
         for ch in range(c):
             warped = warped_all[ch]
-            ix2, iy2 = _grad_xy_k(warped, rows, cols, h, w)
-            ix1, iy1 = _grad_xy_k(im1[ch], rows, cols, h, w)
-            ix = 0.5 * (ix1 + ix2)
-            iy = 0.5 * (iy1 + iy2)
+            # Gradients are linear: grad(0.5*(im1+warped)) == the reference's
+            # 0.5*(grad(im1)+grad(warped)) to 1 ulp (one association swap),
+            # at 13 field-ops per channel instead of 26 — the per-outer IRLS
+            # block is bandwidth-bound (benchmarks/probe_roll.py), so halving
+            # its gradient traffic is a direct win.
+            mean = 0.5 * (im1[ch] + warped)
+            ix, iy = _grad_xy_k(mean, rows, cols, h, w)
             it = warped - im1[ch]
             psi = 1.0 / jnp.sqrt(it * it + eps)  # rho == it at du=dv=0
             a11 = a11 + psi * ix * ix
@@ -512,11 +610,38 @@ def _flow_level_kernel(n_outer, n_sor, alpha, omega, eps, h, w, r_cap,
             return du, dv
 
         du, dv = jax.lax.fori_loop(0, n_sor, sor_body, (zero, zero))
-        return u + du, v + dv
+        delta = jnp.maximum(jnp.max(jnp.abs(du)),
+                            jnp.max(jnp.abs(dv))).reshape(1, 1)
+        return u + du, v + dv, mx, delta
 
-    u, v = jax.lax.fori_loop(0, n_outer, outer_body, (u, v))
+    # Convergence early exit: a static fori over n_outer whose body is
+    # SKIPPED (lax.cond) once an outer's flow increment falls to
+    # <= outer_tol — the remaining outers would move the quantized uint8
+    # output nowhere. At outer_tol == 0 this is bit-exact to always running:
+    # an outer with exactly-zero increment is a fixed point (same u, v in ->
+    # same du, dv = 0 out), so every skipped iteration would have been a
+    # no-op. delta starts at +inf so at least one outer always runs. (This
+    # cond-wrapped form is ALSO the only fast one: a plain fori carrying
+    # (u, v, mx) measured 15-1500 ms/pair — Mosaic spills the loop state —
+    # vs 2.9 ms/pair for this shape of the same loop.)
+    def w_cond(carry):
+        _u, _v, _mx, delta = carry
+        return delta[0, 0] > outer_tol
+
+    def w_body(carry):
+        u, v, mx, _ = carry
+        return outer_body((u, v, mx))
+
+    u, v, mx, _ = jax.lax.fori_loop(
+        0, n_outer,
+        lambda _, c: jax.lax.cond(w_cond(c), w_body, lambda c: c, c),
+        (u, v, jnp.zeros((1, 1), jnp.float32),
+         jnp.full((1, 1), jnp.inf, jnp.float32)))
     u_out[0] = u
     v_out[0] = v
+    # mx_out is one shared (B,) SMEM block (rank-1 blocks may not be split);
+    # each sequential grid step writes its own pair's slot.
+    mx_out[pl.program_id(0)] = mx[0, 0]
 
 
 # VMEM for the fused level kernel: 2C image refs + C row-state + C rolled +
@@ -526,18 +651,41 @@ def _flow_level_kernel(n_outer, n_sor, alpha, omega, eps, h, w, r_cap,
 def fits_vmem_level(h: int, w: int, c: int) -> bool:
     hp = -(-h // 8) * 8
     wp = -(-w // 128) * 128
-    return (5 * c + 26) * hp * wp * 4 <= 14 * 1024 * 1024
+    # 16 MB = the hardware scoped-VMEM limit; the 240x320 c=3 kernel measures
+    # 15.2 MB and compiles. (A 14 MB cap here silently UNFUSED the finest
+    # level after the r4 coefficient bump — flow regression, r5.)
+    return (5 * c + 26) * hp * wp * 4 <= 16 * 1024 * 1024
+
+
+def _pick_stack(b: int, hp: int, wp: int, c: int, cap: int) -> int:
+    """Largest divisor of b whose stacked state fits the scoped-VMEM budget
+    (same field count as fits_vmem_level). cap: 0 = auto, 1 = off, n = cap."""
+    if cap == 1:
+        return 1
+    best = 1
+    for s in range(2, b + 1):
+        if b % s:
+            continue
+        if cap and s > cap:
+            break
+        if (5 * c + 26) * s * hp * wp * 4 <= 14 * 1024 * 1024:
+            best = s
+    return best
 
 
 @functools.partial(jax.jit, static_argnums=(4, 5, 6))
 def flow_level_fused_pallas(im1, im2, u, v, params, interpret: bool = False,
                             ablate_warp: bool = False):
     """Run one full pyramid level fused: im* (B, H, W, C) f32, u/v (B, H, W)
-    -> refined (u, v). See _flow_level_kernel for semantics/deviations.
-    ``ablate_warp`` (timing probes only) replaces the warp with identity."""
+    -> (u, v, mx) with mx (B,) the per-pair max over executed outers of the
+    pre-clamp max |flow| (callers compare it against the static warp radius
+    to decide reruns; under pair stacking it is the per-GROUP max, repeated).
+    See _flow_level_kernel for semantics/deviations. ``ablate_warp`` (timing
+    probes only) replaces the warp with identity."""
     b, h, w, c = im1.shape
     hp = -(-h // 8) * 8
     wp = -(-w // 128) * 128
+    stack = _pick_stack(b, hp, wp, c, getattr(params, "fuse_stack", 0))
     im1t = jnp.transpose(im1, (0, 3, 1, 2))
     im2t = jnp.transpose(im2, (0, 3, 1, 2))
     if (hp, wp) != (h, w):
@@ -547,33 +695,57 @@ def flow_level_fused_pallas(im1, im2, u, v, params, interpret: bool = False,
         im2t = jnp.pad(im2t, pad4)
         u = jnp.pad(u, pad3)
         v = jnp.pad(v, pad3)
+    g = b // stack          # programs
+    hs = stack * hp         # stacked sublane extent per program
+    if stack > 1:
+        # (B, c, hp, wp) -> (B/S, c, S*hp, wp): pairs side by side on rows.
+        im1t = im1t.reshape(g, stack, c, hp, wp).transpose(
+            0, 2, 1, 3, 4).reshape(g, c, hs, wp)
+        im2t = im2t.reshape(g, stack, c, hp, wp).transpose(
+            0, 2, 1, 3, 4).reshape(g, c, hs, wp)
+        u = u.reshape(g, hs, wp)
+        v = v.reshape(g, hs, wp)
     kernel = functools.partial(
         _flow_level_kernel, params.n_outer, params.n_sor, params.alpha,
         params.omega, params.eps, h, w, params.warp_radius,
+        getattr(params, "fuse_warp_radius", 0),
+        getattr(params, "fuse_outer_tol", 0.0),
+        hp,
         ablate_warp=ablate_warp)
     grid_spec = pl.GridSpec(
-        grid=(b,),
+        grid=(g,),
         in_specs=[
-            pl.BlockSpec((1, c, hp, wp), lambda i: (i, 0, 0, 0),
+            pl.BlockSpec((1, c, hs, wp), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c, hp, wp), lambda i: (i, 0, 0, 0),
+            pl.BlockSpec((1, c, hs, wp), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, hp, wp), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, hs, wp), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, hp, wp), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, hs, wp), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=[pl.BlockSpec((1, hp, wp), lambda i: (i, 0, 0),
-                                memory_space=pltpu.VMEM) for _ in range(2)],
+        out_specs=[
+            pl.BlockSpec((1, hs, wp), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hs, wp), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((g,), lambda i: (0,), memory_space=pltpu.SMEM),
+        ],
     )
-    out_shape = [jax.ShapeDtypeStruct((b, hp, wp), jnp.float32)] * 2
-    uo, vo = pl.pallas_call(
+    out_shape = [jax.ShapeDtypeStruct((g, hs, wp), jnp.float32),
+                 jax.ShapeDtypeStruct((g, hs, wp), jnp.float32),
+                 jax.ShapeDtypeStruct((g,), jnp.float32)]
+    uo, vo, mx = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=interpret,
     )(im1t, im2t, u, v)
-    return uo[:, :h, :w], vo[:, :h, :w]
+    if stack > 1:
+        uo = uo.reshape(b, hp, wp)
+        vo = vo.reshape(b, hp, wp)
+        mx = jnp.repeat(mx, stack)
+    return uo[:, :h, :w], vo[:, :h, :w], mx
 
 
 @functools.partial(jax.jit, static_argnums=(11, 12, 13, 14))
