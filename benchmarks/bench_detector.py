@@ -8,6 +8,8 @@ number:
     python benchmarks/bench_detector.py            # latency only
     PROFILE=1 python benchmarks/bench_detector.py  # + device-trace op table
     DB=4 ... batch size | DEPTH=101 | HW=480x640 | DTYPE=bfloat16
+    PRE_NMS=256 POST_NMS=64 ... proposal budgets (bench_detector_sweep.py
+    records the depth x budget option table)
 
 Prints one JSON line {"det_ms_per_frame": ..., "batch": ..., "hw": ...} last,
 so callers (bench.py) can parse it with the same convention as the e2e child.
@@ -47,7 +49,9 @@ def build(depth: int, hw, dtype: str, batch: int):
     from video_classification_tpu.detect.densepose import DensePoseRCNN
     from video_classification_tpu.detect.provider import PIXEL_MEAN
 
-    model = DensePoseRCNN(depth=depth, pre_nms_topk=256, post_nms_topk=64,
+    model = DensePoseRCNN(depth=depth,
+                          pre_nms_topk=int(os.environ.get("PRE_NMS", "256")),
+                          post_nms_topk=int(os.environ.get("POST_NMS", "64")),
                           max_detections=8, chart_pooler_size=28, chart_topk=1,
                           dtype=jnp.dtype(dtype))
     h, w = hw
@@ -174,8 +178,19 @@ def main():
     ms = measure(fn, variables, x, iters=int(os.environ.get("ITERS", "5")))
     if os.environ.get("PROFILE"):
         profile(fn, variables, x, os.environ.get("LOGDIR", "/tmp/vct_det_profile"))
-    print(json.dumps({"det_ms_per_frame": round(ms, 2), "batch": batch,
-                      "hw": f"{hw[0]}x{hw[1]}", "dtype": dtype, "depth": depth}))
+    rec = {"det_ms_per_frame": round(ms, 2), "batch": batch,
+           "hw": f"{hw[0]}x{hw[1]}", "dtype": dtype, "depth": depth}
+    if os.environ.get("BOXES"):
+        # Per-frame argmax-score box (the one detection the crop chain
+        # consumes) — bench_detector_sweep.py compares these across proposal
+        # budgets as a zero-egress stability proxy.
+        out = fn(variables, x)
+        best = jnp.argmax(out["scores"], axis=-1)
+        boxes = jax.device_get(
+            jnp.take_along_axis(out["boxes"],
+                                best[:, None, None], axis=1))[:, 0]
+        rec["boxes"] = [[round(float(v), 2) for v in b] for b in boxes]
+    print(json.dumps(rec))
 
 
 if __name__ == "__main__":

@@ -99,8 +99,11 @@ class FlowParams(NamedTuple):
     # ~4.3 us/trip Mosaic loop floor that otherwise makes a 24x32 level cost
     # nearly as much per pair as 240x320 (pallas_flow._flow_level_kernel,
     # PAIR STACKING). 0 = auto (largest batch divisor that fits VMEM),
-    # 1 = off, n = cap at n.
-    fuse_stack: int = 0
+    # 1 = off, n = cap at n. DEFAULT OFF: measured on the bench fixture the
+    # stacked kernels run at par with unstacked (the per-trip floor scales
+    # with the carried-state bytes, so S pairs per trip cost ~S x as much)
+    # while costing ~430 s of extra Mosaic compile across the pyramid.
+    fuse_stack: int = 1
 
 
 DEFAULT_PARAMS = FlowParams()

@@ -105,11 +105,15 @@ def _sor_kernel(n_sor, alpha, omega,
 
     def body(_, carry):
         du, dv = carry
-        du, dv = half(du, dv, red)
-        du, dv = half(du, dv, ~red)
+        for _s in range(2):  # two sweeps per trip: halve the fori trip floor
+            du, dv = half(du, dv, red)
+            du, dv = half(du, dv, ~red)
         return du, dv
 
-    du, dv = jax.lax.fori_loop(0, n_sor, body, (du0_ref[0], dv0_ref[0]))
+    du, dv = jax.lax.fori_loop(0, n_sor // 2, body, (du0_ref[0], dv0_ref[0]))
+    for _s in range(n_sor % 2):
+        du, dv = half(du, dv, red)
+        du, dv = half(du, dv, ~red)
     du_out[0] = du
     dv_out[0] = dv
 
@@ -404,7 +408,7 @@ def _flow_level_kernel(n_outer, n_sor, alpha, omega, eps, h, w, r_cap,
     # has to stay live across the warp loop — hoisted ix1/iy1 fields pushed
     # 240x320 c=3 past the 16 MB scoped-VMEM limit in the r4 formulation.
 
-    def warp_all(vint, uint, wy, wx, one_m_wy, one_m_wx, n, r_dyn):
+    def warp_all(vint, uint, wy, wx, one_m_wy, one_m_wx, r_dyn):
         """All c channels warped at once, (2r+2)-structured: the row roll,
         row select, and the wy*wx mask product are hoisted per sy instead of
         recomputed per (sy, sx, channel) — same sum, ~2.4x fewer VPU ops than
@@ -435,33 +439,42 @@ def _flow_level_kernel(n_outer, n_sor, alpha, omega, eps, h, w, r_cap,
                        r_dyn % wp, axis=1)
             for ch in range(c))
 
+        # Both loops run TWO steps per fori trip (n = 2r+2 is always even):
+        # the Mosaic fori iteration floor is ~4.3 us/trip regardless of body
+        # (benchmarks/probe_roll.py), and at coarse pyramid levels the warp's
+        # n + n^2 trips ARE the level's cost — halving trips is a pure win
+        # and bit-exact (identical op sequence, just re-blocked).
         def sy_body(iy, carry):
             accs, row_state = carry
-            sy = iy - r_dyn
-            wy_sel = jnp.where(vint == sy, one_m_wy,
-                               jnp.where(vint == sy - 1, wy, zero))
+            for jy in range(2):
+                sy = 2 * iy + jy - r_dyn
+                wy_sel = jnp.where(vint == sy, one_m_wy,
+                                   jnp.where(vint == sy - 1, wy, zero))
 
-            def sx_body(ix, carry):
-                accs, rolled_x = carry
-                sx = ix - r_dyn
-                wx_sel = jnp.where(uint == sx, one_m_wx,
-                                   jnp.where(uint == sx - 1, wx, zero))
-                wsel = wy_sel * wx_sel
-                accs = tuple(a + r * wsel for a, r in zip(accs, rolled_x))
-                # Advance to the next sx: rx decreases by 1 (static amount).
-                rolled_x = tuple(pltpu.roll(r, wp - 1, axis=1)
-                                 for r in rolled_x)
-                return accs, rolled_x
+                def sx_body(ix, carry, wy_sel=wy_sel):
+                    accs, rolled_x = carry
+                    for jx in range(2):
+                        sx = 2 * ix + jx - r_dyn
+                        wx_sel = jnp.where(uint == sx, one_m_wx,
+                                           jnp.where(uint == sx - 1, wx, zero))
+                        wsel = wy_sel * wx_sel
+                        accs = tuple(a + r * wsel
+                                     for a, r in zip(accs, rolled_x))
+                        # Advance to the next sx: rx decreases by 1 (static).
+                        rolled_x = tuple(pltpu.roll(r, wp - 1, axis=1)
+                                         for r in rolled_x)
+                    return accs, rolled_x
 
-            accs, _ = jax.lax.fori_loop(0, n, sx_body, (accs, row_state))
-            # Advance to the next sy: ry decreases by 1 (static amount); the
-            # lane offset (r_dyn) is untouched — axis rolls commute.
-            row_state = tuple(pltpu.roll(r, hp - 1, axis=0)
-                              for r in row_state)
+                accs, _ = jax.lax.fori_loop(0, r_dyn + 1, sx_body,
+                                            (accs, row_state))
+                # Advance to the next sy: ry decreases by 1 (static amount);
+                # the lane offset (r_dyn) is untouched — axis rolls commute.
+                row_state = tuple(pltpu.roll(r, hp - 1, axis=0)
+                                  for r in row_state)
             return accs, row_state
 
         accs, _ = jax.lax.fori_loop(
-            0, n, sy_body, (tuple(zero for _ in range(c)), row0))
+            0, r_dyn + 1, sy_body, (tuple(zero for _ in range(c)), row0))
         return accs
 
     def warp_all_static(vint, uint, wy, wx):
@@ -524,7 +537,6 @@ def _flow_level_kernel(n_outer, n_sor, alpha, omega, eps, h, w, r_cap,
             # Dynamic warp radius from the motion actually present (cap r_cap).
             r_dyn = jnp.clip(jnp.ceil(maxflow).astype(jnp.int32), 1, r_cap)
             r_f = r_dyn.astype(jnp.float32)
-            n = 2 * r_dyn + 2
         ys = jnp.clip(rows.astype(jnp.float32) + jnp.clip(v, -r_f, r_f),
                       0.0, h - 1.0)
         xs = jnp.clip(cols.astype(jnp.float32) + jnp.clip(u, -r_f, r_f),
@@ -542,7 +554,7 @@ def _flow_level_kernel(n_outer, n_sor, alpha, omega, eps, h, w, r_cap,
             warped_all = warp_all_static(vint, uint, wy, wx)
         else:
             warped_all = warp_all(vint, uint, wy, wx, 1.0 - wy, 1.0 - wx,
-                                  n, r_dyn)
+                                  r_dyn)
         a11 = zero
         a12 = zero
         a22 = zero
@@ -603,13 +615,24 @@ def _flow_level_kernel(n_outer, n_sor, alpha, omega, eps, h, w, r_cap,
             dv = jnp.where(mask, (1 - omega) * dv + omega * new_dv, dv)
             return du, dv
 
+        # Several full sweeps per fori trip (+ a Python tail): bit-exact
+        # re-blocking that cuts the ~4.3 us/trip loop floor, which IS the
+        # SOR cost at coarse pyramid levels (the sweep bodies there are a
+        # few hundred lanes of work). Factor 3 divides the reference's
+        # n_sor = 30 exactly; larger factors grow the Mosaic stack.
+        unroll = 3 if n_sor % 3 == 0 else 2
+
         def sor_body(_, carry):
             du, dv = carry
-            du, dv = half(du, dv, red)
-            du, dv = half(du, dv, ~red)
+            for _s in range(unroll):
+                du, dv = half(du, dv, red)
+                du, dv = half(du, dv, ~red)
             return du, dv
 
-        du, dv = jax.lax.fori_loop(0, n_sor, sor_body, (zero, zero))
+        du, dv = jax.lax.fori_loop(0, n_sor // unroll, sor_body, (zero, zero))
+        for _s in range(n_sor % unroll):
+            du, dv = half(du, dv, red)
+            du, dv = half(du, dv, ~red)
         delta = jnp.maximum(jnp.max(jnp.abs(du)),
                             jnp.max(jnp.abs(dv))).reshape(1, 1)
         return u + du, v + dv, mx, delta
