@@ -7,6 +7,20 @@ across fused-kernel configs, and checks each config's uint8 encoding against
 the stored golden (the consumer contract: +-1 uint8 at >= 99.5% of pixels).
 
 Usage: python benchmarks/probe_static_warp.py [shift_px]   (real TPU)
+
+FINDINGS (2026-08-20/21, v5e, natural golden 2.3 px + bench blob 2.9 px):
+  * merged-gradient IRLS: full solve 14.3 -> 10.9 ms/pair on the golden.
+  * fuse_outer_tol 0.005: uint8 output BIT-IDENTICAL to 7 fixed outers on
+    both fixtures, ~5-25% faster depending on convergence; 0.02 also
+    output-identical here but NOT faster (skip checks dominate) — 0.005 is
+    the default.
+  * static radius 2/3: LOSES end-to-end (15.5/10.8 vs 11.0 dyn on the
+    golden; 7.3 vs 7.0 on the bench rung) — mid-solve overshoot past the
+    radius triggers enough dynamic reruns to erase the per-step savings.
+    Kept opt-in for genuinely small-motion deployments.
+  * multi-step-per-trip loops (SOR x3, warp 2x2; bit-exact re-blocking):
+    bench rung 7.0 -> 5.6 ms/pair — the Mosaic ~4.3 us fori-trip floor was
+    the remaining cost at every level (probe_roll.py, probe_level_split.py).
 """
 import json
 import os
